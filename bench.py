@@ -1,0 +1,120 @@
+"""Benchmark: blur-aware tracked frames/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scenario = BASELINE.json config 2: blur-aware tracking with 5 virtual poses,
+3-level pyramid, VGA-scale frames, semi-dense keypoints, synthetic blurred
+sequence from the exact forward model. Measures steady-state per-frame
+tracking wall time (full coarse-to-fine LM, keyframe pinned).
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is reported
+against a 30 frames/s real-time tracking budget, the conventional VO
+real-time bar.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REALTIME_BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mba_vo_tpu.core import lie
+    from mba_vo_tpu.core.spline import make_knots
+    from mba_vo_tpu.data.synthetic import synthesize_blurred_image, _box_filter_1d
+    from mba_vo_tpu.tracker.blur_tracker import BlurAwareTracker, TrackerConfig
+    from mba_vo_tpu.tracker.detector import DetectorOptions
+
+    H, W, FX = 480, 640, 480.0
+    KVEC = np.array([FX, FX, (W - 1) / 2, (H - 1) / 2])
+    DEPTH, EXPOSURE, FRAME_DT, DEG = 2.0, 0.03, 0.1, 2
+
+    img = np.random.default_rng(0).uniform(0, 255, (H, W))
+    for _ in range(2):
+        img = _box_filter_1d(img, 2, 0)
+        img = _box_filter_1d(img, 2, 1)
+    img0 = jnp.asarray(img, jnp.float32)
+
+    vel_t = np.array([0.06, -0.04, 0.02])
+    vel_w = np.array([0.02, 0.05, -0.08])
+    kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
+    q = kq[0]
+    n_frames = 12
+    for _ in range(1, n_frames + 4):
+        kt.append(kt[-1] + vel_t * FRAME_DT)
+        q = np.asarray(
+            lie.quat_multiply(
+                jnp.asarray(q), lie.quat_exp(jnp.asarray(vel_w * FRAME_DT))
+            )
+        )
+        kq.append(q / np.linalg.norm(q))
+    traj = make_knots(
+        jnp.asarray(np.array(kt), jnp.float32),
+        jnp.asarray(np.array(kq), jnp.float32),
+        0.0,
+        FRAME_DT,
+    )
+
+    # one jitted renderer reused for every frame (capture time is traced, so
+    # there is exactly one compilation)
+    Kj = jnp.asarray(KVEC, jnp.float32)
+    synth = jax.jit(
+        lambda cap: synthesize_blurred_image(
+            img0, traj, DEG, cap, EXPOSURE, 5, DEPTH, Kj
+        )
+    )
+    frames = []
+    for i in range(1, n_frames + 1):
+        cap = i * FRAME_DT
+        frames.append((cap, np.asarray(synth(jnp.float32(cap)))))
+
+    cfg = TrackerConfig(
+        num_pyramid_levels=3,
+        num_virtual_poses=(5, 5, 5),
+        huber_a=10.0,
+        max_chi_square_error=3.0,
+        keyframe_max_flow_mag0=1e9,
+        keyframe_max_flow_mag1=1e9,
+        detector=DetectorOptions(
+            score_threshold=5.0, cell_h=30, cell_w=30, max_keypoints=512
+        ),
+        dtype="float32",
+    )
+    tracker = BlurAwareTracker(cfg, KVEC, (H, W))
+    depth = np.full((H, W), DEPTH, np.float32)
+    tracker.track_frame(np.asarray(img0), np.asarray(img0), 0.0, EXPOSURE, depth)
+
+    # warmup (compile all three pyramid levels)
+    for cap, blurred in frames[:2]:
+        est = tracker.track_frame(None, blurred, cap, EXPOSURE)
+    jax.block_until_ready(est.t)
+
+    timed = frames[2:]
+    t0 = time.time()
+    for cap, blurred in timed:
+        est = tracker.track_frame(None, blurred, cap, EXPOSURE)
+    jax.block_until_ready(est.t)
+    wall = time.time() - t0
+    fps = len(timed) / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "blur_aware_tracked_frames_per_s_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / REALTIME_BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

@@ -1,0 +1,165 @@
+"""Image containers-as-arrays: pyramids, gradients, differentiable sampling.
+
+TPU-first replacements for the reference's CPU image stack:
+  * images are plain [H, W] (single-channel) float arrays — no CPU/GPU mirror
+    object (reference Image.h:10-47 uploadToGpu) because XLA owns placement;
+  * pyramid levels are produced by an exact 2x2 box filter, matching the
+    reference downsample (ImagePyramid.h:59-99) bit-for-bit in float;
+  * gradients are central differences with zeroed one-pixel borders
+    (reference Gradient.h:16-75);
+  * ``sample_lk`` is bilinear sampling whose *derivative w.r.t. position* is
+    the bilinearly-sampled precomputed gradient image — the Lucas-Kanade
+    convention the reference hardwires into its Jacobian kernel
+    (compute_pixel_intensity.h:58-69,196-198). Implemented as a custom JVP so
+    the whole warp chain can be differentiated with JAX autodiff while
+    remaining numerically identical to the reference's hand-derived chain.
+
+Out-of-bounds samples return 0 with a False validity mask instead of the
+reference's early-return branches (compute_pixel_intensity.h:35-38) — masking
+is the idiomatic TPU substitute for divergent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------- pyramid
+
+
+def downsample2x(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2 box-filter downsample (reference ImagePyramid.h:77-94).
+
+    Output size is floor(H/2) x floor(W/2); trailing odd row/col dropped,
+    matching the reference's ``H0 / 2^lv`` integer sizing.
+    """
+    H, W = img.shape[-2], img.shape[-1]
+    h2, w2 = H // 2, W // 2
+    x = img[..., : 2 * h2, : 2 * w2]
+    x = x.reshape(*img.shape[:-2], h2, 2, w2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def image_pyramid(img: jnp.ndarray, num_levels: int) -> List[jnp.ndarray]:
+    """List of pyramid levels, level 0 = full resolution."""
+    levels = [img]
+    for _ in range(1, num_levels):
+        levels.append(downsample2x(levels[-1]))
+    return levels
+
+
+# ------------------------------------------------------------------- gradients
+
+
+def image_gradients(img: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference gradients, zeroed at the one-pixel border.
+
+    Returns [H, W, 2] with (dI/dx, dI/dy) — the gradient image the sampler's
+    JVP reads (reference Gradient.h:52-67: dx = 0.5*(right-left),
+    dy = 0.5*(bottom-top), borders zero).
+    """
+    dx = jnp.zeros_like(img)
+    dy = jnp.zeros_like(img)
+    dx = dx.at[..., 1:-1, 1:-1].set(
+        0.5 * (img[..., 1:-1, 2:] - img[..., 1:-1, :-2])
+    )
+    dy = dy.at[..., 1:-1, 1:-1].set(
+        0.5 * (img[..., 2:, 1:-1] - img[..., :-2, 1:-1])
+    )
+    return jnp.stack([dx, dy], axis=-1)
+
+
+def gradient_magnitude(grad: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] gradient magnitude from an [H, W, 2] gradient image
+    (reference Gradient.h:66-71)."""
+    return jnp.sqrt(grad[..., 0] ** 2 + grad[..., 1] ** 2)
+
+
+# -------------------------------------------------------------------- sampling
+
+
+def in_bounds(xy: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Validity mask: True where bilinear support is fully inside the image
+    (reference compute_pixel_intensity.h:35-38)."""
+    x, y = xy[..., 0], xy[..., 1]
+    return (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+
+
+def _gather4(img: jnp.ndarray, xi: jnp.ndarray, yi: jnp.ndarray):
+    """Gather the 4 bilinear support pixels with clamped indices."""
+    h, w = img.shape[-2], img.shape[-1]
+    x0 = jnp.clip(xi, 0, w - 1)
+    y0 = jnp.clip(yi, 0, h - 1)
+    x1 = jnp.clip(xi + 1, 0, w - 1)
+    y1 = jnp.clip(yi + 1, 0, h - 1)
+    return img[..., y0, x0], img[..., y0, x1], img[..., y1, x0], img[..., y1, x1]
+
+
+def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear interpolation of ``img`` [H, W] at positions ``xy`` [..., 2].
+
+    Out-of-bounds positions return 0 (weights from the clamped corner pixels
+    are masked out). Differentiable w.r.t. ``img`` (linear) and piecewise
+    w.r.t. ``xy`` (true derivative of the interpolant). For the reference's
+    Lucas-Kanade derivative convention use :func:`sample_lk`.
+
+    Weight layout matches reference bilinear_interpolation
+    (compute_pixel_intensity.h:40-56).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    x, y = xy[..., 0], xy[..., 1]
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    dx = x - xi
+    dy = y - yi
+    v00, v01, v10, v11 = _gather4(img, xi, yi)
+    dxdy = dx * dy
+    val = (
+        (1.0 - dx - dy + dxdy) * v00
+        + (dx - dxdy) * v01
+        + (dy - dxdy) * v10
+        + dxdy * v11
+    )
+    return jnp.where(in_bounds(xy, h, w), val, 0.0)
+
+
+@jax.custom_jvp
+def sample_lk(img: jnp.ndarray, grad_img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample whose position-derivative is the sampled gradient image.
+
+    Primal: ``bilinear_sample(img, xy)``.
+    Tangent w.r.t. xy: ``<bilinear_sample(grad_img, xy), dxy>`` — i.e. the
+    smoothed central-difference gradient, not the raw derivative of the
+    bilinear interpolant. This reproduces the reference's Jacobian exactly
+    (compute_pixel_intensity.h:58-69 samples dIxy; :196-198 chains it).
+
+    Out-of-bounds: value 0 and gradient 0 (the masked-residual convention).
+    img: [H, W]; grad_img: [H, W, 2]; xy: [..., 2].
+    """
+    return bilinear_sample(img, xy)
+
+
+def _is_symbolic_zero(t) -> bool:
+    return isinstance(t, jax.custom_derivatives.SymbolicZero)
+
+
+def _sample_lk_jvp(primals, tangents):
+    img, grad_img, xy = primals
+    dimg, _dgrad, dxy = tangents  # grad_img tangent intentionally ignored (LK)
+    val = bilinear_sample(img, xy)
+    tangent_out = jnp.zeros_like(val)
+    if not _is_symbolic_zero(dxy):
+        gx = bilinear_sample(grad_img[..., 0], xy)
+        gy = bilinear_sample(grad_img[..., 1], xy)
+        tangent_out = tangent_out + gx * dxy[..., 0] + gy * dxy[..., 1]
+    if not _is_symbolic_zero(dimg):
+        tangent_out = tangent_out + bilinear_sample(dimg, xy)
+    return val, tangent_out
+
+
+# symbolic_zeros=True so pose-only differentiation (the LM hot path) never
+# materializes image-sized zero tangents.
+sample_lk.defjvp(_sample_lk_jvp, symbolic_zeros=True)

@@ -1,0 +1,313 @@
+"""On-device trust-region Levenberg-Marquardt over spline control knots.
+
+The reference runs this loop on the host with two GPU round-trips per
+iteration (knots H2D, H/g/patch-costs D2H — blur_aware_direct_tracker.cpp
+call stack, SURVEY.md §3.2). Here the *entire* LM iteration — damping, dense
+solve, candidate evaluation, Ceres-style non-monotonic step evaluation,
+chi-square outlier re-masking, and the conditional full re-evaluation — is a
+single ``lax.while_loop`` inside one jit. The host sees only the final knots
+and convergence scalars.
+
+Faithfully reproduced reference semantics (documented quirks included):
+  * the damped Hessian *replaces* the carried Hessian, so consecutive
+    rejected/invalid steps accumulate damping exactly like the reference's
+    in-place ``mHessian.diagonal() += diagonal/radius``
+    (blur_aware_direct_tracker.cpp:799-803);
+  * a *valid but unsuccessful* step leaves ``abs_cost_decrease`` negative,
+    which terminates the level at the next check
+    (blur_aware_direct_tracker.cpp:609-636,910-924) — only model-invalid
+    steps (negative predicted decrease) retry with a smaller radius;
+  * on success, outliers are re-detected from the *candidate* evaluation's
+    patch costs, then the full re-evaluation (with the new mask) defines the
+    new evaluation cost that feeds the step evaluator
+    (blur_aware_direct_tracker.cpp:896-903);
+  * LM radius policy: init 1e4 in [10, 1e32]; accept divides by
+    ``max(1/3, 1-(2q-1)^3)`` and resets the decrease factor to 2; reject
+    divides by the doubling decrease factor
+    (levenberg_marquardt_strategy.cpp:9-44);
+  * step quality is the Conn-Gould-Toint non-monotonic relative decrease
+    (trust_region_step_evaluator.cpp:39-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.spline import SplineKnots, spline_retract_flat
+from ..ops.residual import Evaluation, TrackingLevelData, evaluate
+
+
+@dataclasses.dataclass(frozen=True)
+class LMOptions:
+    """Static solver options (hashable -> usable as a jit static argument).
+
+    Defaults match the reference (blur_aware_direct_tracker.h:36-40,
+    levenberg_marquardt_strategy.cpp:9-14).
+    """
+
+    max_iterations: int = 50
+    min_step_quality: float = 0.5
+    min_abs_cost_decrease: float = 1e-3
+    max_consecutive_nonmonotonic_steps: int = 5
+    initial_radius: float = 1e4
+    min_radius: float = 10.0
+    max_radius: float = 1e32
+    huber_a: float = 20.0
+    max_chi_square_error: float = 3.0
+    solver: str = "cholesky"  # "cholesky" | "lu" | "svd"
+
+
+class LMSummary(NamedTuple):
+    final_cost: jnp.ndarray
+    num_iterations: jnp.ndarray
+    outlier_mask: jnp.ndarray
+
+
+class _EvaluatorState(NamedTuple):
+    """Ceres TrustRegionStepEvaluator state (trust_region_step_evaluator.h)."""
+
+    minimum_cost: jnp.ndarray
+    current_cost: jnp.ndarray
+    reference_cost: jnp.ndarray
+    candidate_cost: jnp.ndarray
+    acc_reference_mcc: jnp.ndarray
+    acc_candidate_mcc: jnp.ndarray
+    num_nonmonotonic: jnp.ndarray
+
+
+def _evaluator_reset(cost: jnp.ndarray) -> _EvaluatorState:
+    z = jnp.zeros_like(cost)
+    return _EvaluatorState(cost, cost, cost, cost, z, z, jnp.int32(0))
+
+
+def _step_quality(ev: _EvaluatorState, cost, model_cost_change):
+    """Reference trust_region_step_evaluator.cpp:56-75."""
+    relative = (ev.current_cost - cost) / model_cost_change
+    historical = (ev.reference_cost - cost) / (
+        ev.acc_reference_mcc + model_cost_change
+    )
+    return jnp.maximum(relative, historical)
+
+
+def _step_accepted(ev: _EvaluatorState, cost, model_cost_change, max_nonmono: int):
+    """Reference trust_region_step_evaluator.cpp:77-126 (Conn-Gould-Toint
+    Algorithm 10.1.2, with Ceres' always-check step 3d modification)."""
+    current = cost
+    acc_cand = ev.acc_candidate_mcc + model_cost_change
+    acc_ref = ev.acc_reference_mcc + model_cost_change
+
+    improved = current < ev.minimum_cost
+    minimum = jnp.where(improved, current, ev.minimum_cost)
+    nonmono = jnp.where(improved, 0, ev.num_nonmonotonic + 1)
+    worse_than_cand = current > ev.candidate_cost
+    candidate = jnp.where(
+        improved, current, jnp.where(worse_than_cand, current, ev.candidate_cost)
+    )
+    acc_cand = jnp.where(improved | worse_than_cand, 0.0, acc_cand)
+
+    hit_limit = nonmono == max_nonmono
+    reference = jnp.where(hit_limit, candidate, ev.reference_cost)
+    acc_ref = jnp.where(hit_limit, acc_cand, acc_ref)
+
+    return _EvaluatorState(
+        minimum_cost=minimum,
+        current_cost=current,
+        reference_cost=reference,
+        candidate_cost=candidate,
+        acc_reference_mcc=acc_ref,
+        acc_candidate_mcc=acc_cand,
+        num_nonmonotonic=nonmono,
+    )
+
+
+def _solve(H: jnp.ndarray, g: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """step = -H^-1 g (reference solve_normal_equation.h:16-34 solves H x = g
+    then negates)."""
+    if kind == "cholesky":
+        L = jnp.linalg.cholesky(H)
+        x = jax.scipy.linalg.cho_solve((L, True), g)
+    elif kind == "lu":
+        x = jnp.linalg.solve(H, g)
+    elif kind == "svd":
+        x, *_ = jnp.linalg.lstsq(H, g, rcond=None)
+    else:
+        raise ValueError(f"unknown solver {kind!r}")
+    return -x
+
+
+def detect_outliers(
+    patch_costs: jnp.ndarray, kp_mask: jnp.ndarray, chi_k: float,
+    axis_name=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chi-square-style outlier flags from per-patch Huber costs.
+
+    Reference detectOutliersAndUploadToGpu
+    (blur_aware_direct_tracker.cpp:639-699): statistics (mu, sigma) over
+    patches with cost >= 1e-8, flag |cost - mu| > k*sigma over ALL patches.
+    Generalized to multi-frame by summing each keypoint's costs over frames.
+    Returns (inlier mask [N] float, num_outliers).
+
+    With ``axis_name`` set (keypoints sharded over a mesh axis inside
+    shard_map), mu/sigma are computed over the *global* keypoint set via
+    psum; the returned mask is shard-local.
+    """
+    def allreduce(x):
+        return lax.psum(x, axis_name) if axis_name is not None else x
+
+    c = patch_costs.sum(axis=0)  # [N]
+    live = ((c >= 1e-8) & (kp_mask > 0)).astype(c.dtype)
+    n_live = jnp.maximum(allreduce(live.sum()), 1.0)
+    mu = allreduce(jnp.sum(c * live)) / n_live
+    var = allreduce(jnp.sum(live * (c - mu) ** 2)) / n_live
+    thresh = chi_k * jnp.sqrt(var)
+    outlier = (jnp.abs(c - mu) > thresh) & (kp_mask > 0)
+    inlier_mask = jnp.where(outlier, 0.0, 1.0).astype(c.dtype)
+    return inlier_mask, allreduce(outlier.sum())
+
+
+class _LMState(NamedTuple):
+    knots: SplineKnots
+    H: jnp.ndarray
+    g: jnp.ndarray
+    cost: jnp.ndarray
+    radius: jnp.ndarray
+    decrease_factor: jnp.ndarray
+    ev: _EvaluatorState
+    outlier_mask: jnp.ndarray
+    num_iterations: jnp.ndarray
+    abs_cost_decrease: jnp.ndarray
+
+
+def optimize_level(
+    knots: SplineKnots,
+    data: TrackingLevelData,
+    num_vir: int,
+    degree: int,
+    opts: LMOptions,
+    axis_name=None,
+) -> Tuple[SplineKnots, LMSummary]:
+    """Run the full LM loop for one pyramid level, entirely on device.
+
+    Reference optimizePyramidLevel (blur_aware_direct_tracker.cpp:590-637).
+
+    With ``axis_name`` set this runs inside shard_map with keypoints sharded
+    over that mesh axis: every evaluation's H/g/cost is psum-assembled, the
+    small dense solve is computed redundantly-but-identically on every shard,
+    and outlier statistics are global — the multi-chip normal-equation path
+    (SURVEY.md §2.5 multi-host row).
+    """
+    dtype = knots.t.dtype
+    N = data.kp_mask.shape[0]
+    mask0 = jnp.ones((N,), dtype=dtype)
+
+    ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
+                   axis_name=axis_name)
+
+    state0 = _LMState(
+        knots=knots,
+        H=ev0.hessian,
+        g=ev0.gradient,
+        cost=ev0.cost,
+        radius=jnp.asarray(opts.initial_radius, dtype),
+        decrease_factor=jnp.asarray(2.0, dtype),
+        ev=_evaluator_reset(ev0.cost),
+        outlier_mask=mask0,
+        num_iterations=jnp.int32(0),
+        abs_cost_decrease=jnp.asarray(1e10, dtype),
+    )
+
+    def clip_radius(r):
+        return jnp.clip(r, opts.min_radius, opts.max_radius)
+
+    def cond(s: _LMState):
+        # finalizeIterationAndCheckIfMinimizerCanContinue
+        # (blur_aware_direct_tracker.cpp:910-924)
+        return (s.num_iterations < opts.max_iterations) & (
+            s.abs_cost_decrease >= opts.min_abs_cost_decrease
+        )
+
+    def body(s: _LMState):
+        # -- computeTrustRegionStep (cpp:799-831), incl. in-place damping
+        H1 = s.H + jnp.diag(jnp.diag(s.H)) / s.radius
+        step = _solve(H1, s.g, opts.solver)
+        model_cost_change = -(s.g @ step + 0.5 * step @ (H1 @ step))
+        invalid = (model_cost_change < 0) | ~jnp.all(jnp.isfinite(step))
+
+        def invalid_branch(s: _LMState):
+            # handleInvalidStep -> LM step_rejected (cpp:885-888)
+            return s._replace(
+                H=H1,
+                radius=clip_radius(s.radius / s.decrease_factor),
+                decrease_factor=s.decrease_factor * 2.0,
+                num_iterations=s.num_iterations + 1,
+            )
+
+        def valid_branch(s: _LMState):
+            cand = spline_retract_flat(s.knots, step)
+            ev_c = evaluate(
+                cand, data, num_vir, degree, opts.huber_a, s.outlier_mask, False,
+                axis_name=axis_name,
+            )
+            quality = _step_quality(s.ev, ev_c.cost, model_cost_change)
+            success = (quality > opts.min_step_quality) & (ev_c.cost < s.cost)
+            acd = s.cost - ev_c.cost
+
+            def accept(s: _LMState):
+                # detectOutliers from candidate patch costs, then full re-eval
+                # with the new mask (cpp:627-628, 896-903)
+                new_mask, _ = detect_outliers(
+                    ev_c.patch_costs, data.kp_mask, opts.max_chi_square_error,
+                    axis_name=axis_name,
+                )
+                ev_f = evaluate(
+                    cand, data, num_vir, degree, opts.huber_a, new_mask, True,
+                    axis_name=axis_name,
+                )
+                new_radius = s.radius / jnp.maximum(
+                    1.0 / 3.0, 1.0 - (2.0 * quality - 1.0) ** 3
+                )
+                return s._replace(
+                    knots=cand,
+                    H=ev_f.hessian,
+                    g=ev_f.gradient,
+                    cost=ev_f.cost,
+                    radius=clip_radius(new_radius),
+                    decrease_factor=jnp.asarray(2.0, dtype),
+                    ev=_step_accepted(
+                        s.ev, ev_f.cost, model_cost_change,
+                        opts.max_consecutive_nonmonotonic_steps,
+                    ),
+                    outlier_mask=new_mask,
+                    num_iterations=s.num_iterations + 1,
+                    abs_cost_decrease=acd,
+                )
+
+            def reject(s: _LMState):
+                return s._replace(
+                    H=H1,
+                    radius=clip_radius(s.radius / s.decrease_factor),
+                    decrease_factor=s.decrease_factor * 2.0,
+                    num_iterations=s.num_iterations + 1,
+                    abs_cost_decrease=acd,
+                )
+
+            return lax.cond(success, accept, reject, s)
+
+        return lax.cond(invalid, invalid_branch, valid_branch, s)
+
+    final = lax.while_loop(cond, body, state0)
+    return final.knots, LMSummary(
+        final_cost=final.cost,
+        num_iterations=final.num_iterations,
+        outlier_mask=final.outlier_mask,
+    )
+
+
+optimize_level_jit = jax.jit(
+    optimize_level, static_argnums=(2, 3, 4, 5)
+)
