@@ -1,0 +1,279 @@
+"""Command-line driver for the blur-aware VO engine — the application layer
+the reference never shipped (SURVEY.md §1 "missing layers").
+
+Subcommands:
+  track   run the tracker over an image folder + depth maps, write a TUM
+          trajectory
+  synth   generate a synthetic blurred benchmark sequence to disk (the
+          oracle of generate_synthetic_data.cpp as a dataset)
+  eval    ATE/RPE between two TUM trajectory files
+
+Sequence format for `track`:
+  --images DIR        sorted image files (png/jpg/pgm...)
+  --times FILE        lines: "<image_name> <capture_time> <exposure_time>"
+                      (missing file: frame index * --frame-dt, fixed exposure)
+  --depths DIR        depth maps matching image order (only consulted on
+                      keyframes; "unreal" ASCII or "eth3d" 16-bit PNG)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mba_vo_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("track", help="run the blur-aware tracker")
+    t.add_argument("--images", required=True, help="image folder")
+    t.add_argument("--depths", help="depth-map folder (keyframes)")
+    t.add_argument("--dataset-type", default="eth3d",
+                   choices=["unreal", "eth3d", "npy"])
+    t.add_argument("--intrinsics", required=True,
+                   help="fx,fy,cx,cy")
+    t.add_argument("--times", help="timestamps file")
+    t.add_argument("--frame-dt", type=float, default=0.05)
+    t.add_argument("--exposure", type=float, default=0.02)
+    t.add_argument("--config", help="tracker config JSON")
+    t.add_argument("--output", default="trajectory.txt")
+    t.add_argument("--checkpoint-every", type=int, default=0)
+    t.add_argument("--checkpoint-dir", default="ckpt")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--max-frames", type=int, default=0)
+
+    s = sub.add_parser("synth", help="generate a synthetic blurred sequence")
+    s.add_argument("--output", required=True, help="output directory")
+    s.add_argument("--num-frames", type=int, default=20)
+    s.add_argument("--height", type=int, default=480)
+    s.add_argument("--width", type=int, default=640)
+    s.add_argument("--exposure", type=float, default=0.03)
+    s.add_argument("--frame-dt", type=float, default=0.1)
+    s.add_argument("--depth", type=float, default=2.0)
+    s.add_argument("--num-samples", type=int, default=31)
+    s.add_argument("--seed", type=int, default=0)
+
+    e = sub.add_parser("eval", help="ATE/RPE between two TUM trajectories")
+    e.add_argument("--est", required=True)
+    e.add_argument("--ref", required=True)
+    e.add_argument("--with-scale", action="store_true")
+    return p
+
+
+def cmd_track(args) -> int:
+    import jax.numpy as jnp
+
+    from .data import datasets as ds
+    from .tracker.blur_tracker import BlurAwareTracker, TrackerConfig
+    from .utils.config import load_tracker_config
+    from .utils.checkpoint import load_tracker_state, save_tracker_state
+
+    K = np.array([float(x) for x in args.intrinsics.split(",")])
+    if K.shape != (4,):
+        print("--intrinsics must be fx,fy,cx,cy", file=sys.stderr)
+        return 2
+
+    image_paths = ds.list_image_folder(args.images)
+    if not image_paths:
+        print(f"no images found in {args.images}", file=sys.stderr)
+        return 2
+    if args.max_frames:
+        image_paths = image_paths[: args.max_frames]
+
+    depth_paths = (
+        ds.list_image_folder(args.depths)
+        if args.depths and args.dataset_type == "eth3d"
+        else sorted(
+            os.path.join(args.depths, f) for f in os.listdir(args.depths)
+        )
+        if args.depths
+        else []
+    )
+
+    # timestamps
+    times = {}
+    if args.times:
+        with open(args.times) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3 and not line.startswith("#"):
+                    times[parts[0]] = (float(parts[1]), float(parts[2]))
+
+    first = ds.load_gray_image(image_paths[0])
+    H, W = first.shape
+
+    cfg = (
+        load_tracker_config(args.config) if args.config else TrackerConfig()
+    )
+    tracker = BlurAwareTracker(cfg, K, (H, W))
+    start_idx = 0
+    if args.resume and os.path.exists(
+        os.path.join(args.checkpoint_dir, "meta.json")
+    ):
+        with open(os.path.join(args.checkpoint_dir, "meta.json")) as f:
+            meta = json.load(f)
+        load_tracker_state(tracker, os.path.join(args.checkpoint_dir, "state"))
+        start_idx = meta["next_frame"]
+        print(f"resumed at frame {start_idx}")
+
+    def load_depth(i):
+        if not depth_paths:
+            return None
+        path = depth_paths[min(i, len(depth_paths) - 1)]
+        if args.dataset_type == "unreal":
+            return ds.load_depth(path, "unreal", K, H, W)
+        if args.dataset_type == "eth3d":
+            return ds.load_depth(path, "eth3d")
+        return np.load(path)
+
+    out_times, out_t, out_q = [], [], []
+    for i in range(start_idx, len(image_paths)):
+        path = image_paths[i]
+        name = os.path.basename(path)
+        cap, exp = times.get(name, (i * args.frame_dt, args.exposure))
+        img = ds.load_gray_image(path)
+        depth = load_depth(i)
+        # the first frame (and keyframe candidates) use the current image as
+        # the sharp frame — the reference's dataset contract provides a sharp
+        # image per keyframe; folder datasets reuse the tracked frame
+        pose = tracker.track_frame(img, img, cap, exp, depth)
+        out_times.append(cap)
+        out_t.append(np.asarray(pose.t))
+        out_q.append(np.asarray(pose.q))
+        print(
+            f"frame {i:4d} t={cap:.3f} pos="
+            + np.array2string(np.asarray(pose.t), precision=4)
+            + f" kernel={tracker.avg_kernel_length:.2f}px"
+        )
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            save_tracker_state(
+                tracker, os.path.join(args.checkpoint_dir, "state")
+            )
+            with open(os.path.join(args.checkpoint_dir, "meta.json"), "w") as f:
+                json.dump({"next_frame": i + 1}, f)
+
+    ds.save_tum_trajectory(
+        args.output, np.asarray(out_times), np.asarray(out_t), np.asarray(out_q)
+    )
+    print(f"wrote {len(out_times)} poses to {args.output}")
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from .core import lie
+    from .core.spline import make_knots, spline_pose_at
+    from .data.synthetic import synthesize_blurred_image, smooth_shapes_image
+    from .data import datasets as ds
+
+    os.makedirs(args.output, exist_ok=True)
+    H, W = args.height, args.width
+    fx = 0.75 * W
+    K = np.array([fx, fx, (W - 1) / 2, (H - 1) / 2])
+
+    img0 = jnp.asarray(smooth_shapes_image(H, W), jnp.float32)
+    rng = np.random.default_rng(args.seed)
+    vel_t = rng.uniform(-0.08, 0.08, 3)
+    vel_w = rng.uniform(-0.08, 0.08, 3)
+    n_knots = args.num_frames + 4
+    kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
+    q = kq[0]
+    for _ in range(1, n_knots):
+        kt.append(kt[-1] + vel_t * args.frame_dt + rng.normal(0, 1e-3, 3))
+        import jax.numpy as _j
+
+        q = np.array(
+            lie.quat_multiply(
+                _j.asarray(q),
+                lie.quat_exp(_j.asarray(vel_w * args.frame_dt + rng.normal(0, 1e-3, 3))),
+            )
+        )
+        q = q / np.linalg.norm(q)
+        kq.append(q)
+    traj = make_knots(
+        jnp.asarray(np.array(kt), jnp.float32),
+        jnp.asarray(np.array(kq), jnp.float32), 0.0, args.frame_dt,
+    )
+
+    Kj = jnp.asarray(K, jnp.float32)
+    synth = jax.jit(
+        lambda cap: synthesize_blurred_image(
+            img0, traj, 2, cap, args.exposure, args.num_samples,
+            args.depth, Kj,
+        )
+    )
+
+    img_dir = os.path.join(args.output, "images")
+    depth_dir = os.path.join(args.output, "depths")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(depth_dir, exist_ok=True)
+
+    PILImage.fromarray(np.asarray(img0).astype(np.uint8)).save(
+        os.path.join(img_dir, "frame_0000.png")
+    )
+    np.save(os.path.join(depth_dir, "frame_0000.npy"),
+            np.full((H, W), args.depth, np.float32))
+
+    gt_times, gt_t, gt_q = [0.0], [np.zeros(3)], [np.array([0, 0, 0, 1.0])]
+    lines = [f"frame_0000.png 0.0 {args.exposure}"]
+    for i in range(1, args.num_frames + 1):
+        cap = i * args.frame_dt
+        blurred = np.asarray(synth(jnp.float32(cap)))
+        PILImage.fromarray(np.clip(blurred, 0, 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"frame_{i:04d}.png")
+        )
+        np.save(os.path.join(depth_dir, f"frame_{i:04d}.npy"),
+                np.full((H, W), args.depth, np.float32))
+        p = spline_pose_at(traj, cap, 2)
+        gt_times.append(cap)
+        gt_t.append(np.asarray(p.t))
+        gt_q.append(np.asarray(p.q))
+        lines.append(f"frame_{i:04d}.png {cap} {args.exposure}")
+
+    with open(os.path.join(args.output, "times.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    ds.save_tum_trajectory(
+        os.path.join(args.output, "groundtruth.txt"),
+        np.asarray(gt_times), np.asarray(gt_t), np.asarray(gt_q),
+    )
+    with open(os.path.join(args.output, "intrinsics.txt"), "w") as f:
+        f.write(",".join(str(v) for v in K) + "\n")
+    print(f"wrote {args.num_frames + 1} frames to {args.output}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .data import datasets as ds
+    from .utils.metrics import ate_rmse, rpe_rmse
+
+    t_est, est_t, _ = ds.load_tum_trajectory(args.est)
+    t_ref, ref_t, _ = ds.load_tum_trajectory(args.ref)
+    n = min(len(t_est), len(t_ref))
+    ate = ate_rmse(est_t[:n], ref_t[:n], with_scale=args.with_scale)
+    rpe = rpe_rmse(est_t[:n], ref_t[:n])
+    print(json.dumps({"ate_rmse": ate, "rpe_rmse": rpe, "num_poses": n}))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_arg_parser().parse_args(argv)
+    if args.command == "track":
+        return cmd_track(args)
+    if args.command == "synth":
+        return cmd_synth(args)
+    if args.command == "eval":
+        return cmd_eval(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

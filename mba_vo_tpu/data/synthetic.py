@@ -53,15 +53,25 @@ def _fill_triangle(img: np.ndarray, pts, value: float):
 
 def shapes_image(H: int = 480, W: int = 640, dtype=np.float32) -> np.ndarray:
     """White rectangles + triangles on black, the reference's synthetic scene
-    (generate_synthetic_data.cpp:11-125, same shape placements)."""
+    (generate_synthetic_data.cpp:11-125; same placements at 640x480, scaled
+    proportionally for other canvas sizes so small test frames keep texture)."""
     img = np.zeros((H, W), dtype=dtype)
-    _fill_rect(img, 300, 50, 50, 100, 255.0)
-    _fill_rect(img, 250, 200, 100, 50, 255.0)
-    _fill_rect(img, 400, 300, 100, 100, 255.0)
-    _fill_rect(img, 500, 50, 100, 100, 255.0)
-    _fill_rect(img, 250, 300, 100, 100, 255.0)
-    _fill_triangle(img, [(500, 50), (400, 150), (550, 250)], 255.0)
-    _fill_triangle(img, [(150, 300), (50, 450), (250, 400)], 255.0)
+    sx, sy = W / 640.0, H / 480.0
+
+    def rect(x, y, w, h):
+        _fill_rect(img, int(x * sx), int(y * sy),
+                   max(1, int(w * sx)), max(1, int(h * sy)), 255.0)
+
+    def tri(pts):
+        _fill_triangle(img, [(x * sx, y * sy) for x, y in pts], 255.0)
+
+    rect(300, 50, 50, 100)
+    rect(250, 200, 100, 50)
+    rect(400, 300, 100, 100)
+    rect(500, 50, 100, 100)
+    rect(250, 300, 100, 100)
+    tri([(500, 50), (400, 150), (550, 250)])
+    tri([(150, 300), (50, 450), (250, 400)])
     return img
 
 

@@ -180,6 +180,74 @@ def _keyframe_anchor(knots: SplineKnots, T_keyframe: Pose, pose_cap: Pose,
 _keyframe_anchor_jit = jax.jit(_keyframe_anchor, static_argnums=(4,))
 
 
+from functools import partial
+from ..solver.lm import optimize_level
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
+)
+def _track_frame_fused(
+    knots: SplineKnots,
+    neigh_velocity,
+    T_prev: Pose,
+    T_keyframe: Pose,
+    dt_frame,
+    cap_time,
+    exp_time,
+    window_t0,
+    knot_dt,
+    cur_img,
+    kf_imgs,       # tuple of [H_lv, W_lv] keyframe images
+    kf_grads,      # tuple of [H_lv, W_lv, 2] gradient images
+    kf_kp_xy,      # tuple of [N, 2]
+    kf_kp_z,       # tuple of [N]
+    kf_kp_mask,    # tuple of [N]
+    pattern,
+    K0,
+    *,
+    num_levels: int,
+    num_virtual_poses,
+    degree: int,
+    lm_opts,
+):
+    """One fused device call for a whole tracked frame: constant-velocity
+    prediction, current-frame pyramid, coarse-to-fine LM over all levels, and
+    pose/velocity/keyframe statistics. A single host->device dispatch per
+    frame — the reference performs dozens of host round-trips per LM
+    iteration instead (SURVEY.md §3.2)."""
+    knots = _pre_track(knots, neigh_velocity, dt_frame, window_t0, knot_dt)
+
+    pyr = image_pyramid(cur_img, num_levels)
+    summaries = []
+    for i in range(num_levels):
+        lv = num_levels - 1 - i
+        data = TrackingLevelData(
+            img_ref=kf_imgs[lv],
+            grad_ref=kf_grads[lv],
+            cur_imgs=pyr[lv][None],
+            cap_times=cap_time[None],
+            exp_times=exp_time[None],
+            kp_xy=kf_kp_xy[lv],
+            kp_z=kf_kp_z[lv],
+            kp_mask=kf_kp_mask[lv],
+            pattern=pattern,
+            K=K0 / (2.0 ** lv),
+        )
+        knots, summary = optimize_level(
+            knots, data, num_virtual_poses[lv], degree, lm_opts
+        )
+        summaries.append((lv, summary))
+
+    pose_cap, neigh_velocity, avg_flow, avg_kernel = _post_track(
+        knots, T_prev, cap_time, dt_frame,
+        kf_kp_xy[0], kf_kp_z[0], kf_kp_mask[0], K0, exp_time, degree,
+    )
+    result = pose_compose(T_keyframe, pose_cap)
+    return knots, pose_cap, result, neigh_velocity, avg_flow, avg_kernel, summaries
+
+
 class BlurAwareTracker:
     """Frame-to-keyframe blur-aware tracking with a global keyframe chain."""
 
@@ -266,36 +334,36 @@ class BlurAwareTracker:
             )
             return self.T_keyframe
 
-        # constant-velocity prediction (.cpp:120-145), one device call
+        # whole tracked frame = ONE fused device call: prediction, pyramid,
+        # coarse-to-fine LM, pose/velocity/keyframe statistics
+        # (.cpp:120-263 collapsed)
         dt_frame = cap_time - self.prev_timestamp
-        self.knots = _pre_track(
+        kls = self.keyframe_levels
+        (
+            self.knots, pose_cap, result, self.neigh_velocity,
+            avg_flow, avg_kernel, self.last_summaries,
+        ) = _track_frame_fused(
             self.knots,
             self.neigh_velocity,
+            self.T_prev_b2w,
+            self.T_keyframe,
             jnp.asarray(dt_frame, self.dtype),
+            jnp.asarray(cap_time, self.dtype),
+            jnp.asarray(exp_time, self.dtype),
             jnp.asarray(cap_time - 0.5 * exp_time, self.dtype),
             jnp.asarray(max(dt_frame, exp_time, 1e-3), self.dtype),
-        )
-
-        # coarse-to-fine LM (.cpp:544-588)
-        self.last_summaries = []
-        for i in range(cfg.num_pyramid_levels):
-            lv = cfg.num_pyramid_levels - 1 - i
-            data = self._level_data(lv, blur_img, cap_time, exp_time)
-            self.knots, summary = optimize_level_jit(
-                self.knots, data, cfg.num_virtual_poses[lv], cfg.spline_degree,
-                cfg.lm_options(),
-            )
-            self.last_summaries.append((lv, summary))
-
-        # pose extraction + velocity + keyframe statistics, one device call
-        # (.cpp:153-162, 205-263)
-        kf0 = self.keyframe_levels[0]
-        pose_cap, self.neigh_velocity, avg_flow, avg_kernel = _post_track_jit(
-            self.knots, self.T_prev_b2w,
-            jnp.asarray(cap_time, self.dtype),
-            jnp.asarray(dt_frame, self.dtype),
-            kf0["kp_xy"], kf0["kp_z"], kf0["kp_mask"], self.K0,
-            jnp.asarray(exp_time, self.dtype), cfg.spline_degree,
+            jnp.asarray(blur_img, self.dtype),
+            tuple(l["img"] for l in kls),
+            tuple(l["grad"] for l in kls),
+            tuple(l["kp_xy"] for l in kls),
+            tuple(l["kp_z"] for l in kls),
+            tuple(l["kp_mask"] for l in kls),
+            self.pattern,
+            self.K0,
+            num_levels=cfg.num_pyramid_levels,
+            num_virtual_poses=cfg.num_virtual_poses,
+            degree=cfg.spline_degree,
+            lm_opts=cfg.lm_options(),
         )
         self.T_prev_b2w = pose_cap
         avg_flow = float(avg_flow)
@@ -304,8 +372,6 @@ class BlurAwareTracker:
             avg_flow > cfg.keyframe_max_flow_mag0
             and self.avg_kernel_length < cfg.keyframe_max_blur_kernel_mag
         ) or avg_flow > cfg.keyframe_max_flow_mag1
-
-        result = pose_compose(self.T_keyframe, pose_cap)
         if is_keyframe and sharp_img is not None and depth_map is not None:
             self.process_keyframe(sharp_img, depth_map)
             # fold + re-anchor (.cpp:184-196), one device call

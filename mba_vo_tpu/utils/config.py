@@ -1,0 +1,53 @@
+"""Typed config loading for the tracker CLI.
+
+The reference has no config system — plain C++ option structs filled by an
+absent caller (SURVEY.md §5 config row). Here: JSON files map directly onto
+the frozen dataclass configs, with explicit unknown-key errors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict
+
+from ..solver.lm import LMOptions
+from ..tracker.blur_tracker import TrackerConfig
+from ..tracker.detector import DetectorOptions
+
+
+def _build(cls, data: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(data) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"unknown {cls.__name__} keys: {sorted(unknown)}; "
+            f"valid keys: {sorted(fields)}"
+        )
+    kwargs = {}
+    for k, v in data.items():
+        if k == "detector" and isinstance(v, dict):
+            v = _build(DetectorOptions, v)
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def tracker_config_from_dict(data: Dict[str, Any]) -> TrackerConfig:
+    return _build(TrackerConfig, data)
+
+
+def load_tracker_config(path: str) -> TrackerConfig:
+    with open(path) as f:
+        return tracker_config_from_dict(json.load(f))
+
+
+def tracker_config_to_dict(cfg: TrackerConfig) -> Dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    return d
+
+
+def save_tracker_config(cfg: TrackerConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(tracker_config_to_dict(cfg), f, indent=2)
