@@ -163,3 +163,36 @@ def _sample_lk_jvp(primals, tangents):
 # symbolic_zeros=True so pose-only differentiation (the LM hot path) never
 # materializes image-sized zero tangents.
 sample_lk.defjvp(_sample_lk_jvp, symbolic_zeros=True)
+
+
+# ------------------------------------------------------------------- remapping
+
+
+def remap(img: jnp.ndarray, map_xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear remap: out[i, j] = img(map_xy[i, j]).
+
+    The cv::remap replacement used by camera-to-camera undistortion
+    (reference Undistort.{h,cpp} builds a pixel map then cv::remap's it).
+    map_xy: [H', W', 2] source positions; out-of-bounds -> 0.
+    """
+    return bilinear_sample(img, map_xy)
+
+
+def build_undistort_map(src_camera, dst_camera) -> jnp.ndarray:
+    """Pixel map for remapping a distorted image onto a pinhole target:
+    for each target pixel, unproject through the clean model at depth 1 and
+    project through the distorted source model (reference Undistort.cpp:
+    camera-to-camera remap construction)."""
+    H, W = dst_camera.height, dst_camera.width
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    xy = jnp.stack([xs, ys], axis=-1).astype(dst_camera.K.dtype)
+    pts = dst_camera.unproject(
+        xy.reshape(-1, 2), jnp.ones(H * W, dst_camera.K.dtype)
+    )
+    src_xy, _ = src_camera.project(pts)
+    return src_xy.reshape(H, W, 2)
+
+
+def undistort_image(img: jnp.ndarray, src_camera, dst_camera) -> jnp.ndarray:
+    """One-call undistortion to a pinhole view (map construction + remap)."""
+    return remap(img, build_undistort_map(src_camera, dst_camera))

@@ -245,7 +245,8 @@ def _track_frame_fused(
         kf_kp_xy[0], kf_kp_z[0], kf_kp_mask[0], K0, exp_time, degree,
     )
     result = pose_compose(T_keyframe, pose_cap)
-    return knots, pose_cap, result, neigh_velocity, avg_flow, avg_kernel, summaries
+    stats = jnp.stack([avg_flow, avg_kernel])
+    return knots, pose_cap, result, neigh_velocity, stats, summaries
 
 
 class BlurAwareTracker:
@@ -341,7 +342,7 @@ class BlurAwareTracker:
         kls = self.keyframe_levels
         (
             self.knots, pose_cap, result, self.neigh_velocity,
-            avg_flow, avg_kernel, self.last_summaries,
+            flow_kernel_dev, self.last_summaries,
         ) = _track_frame_fused(
             self.knots,
             self.neigh_velocity,
@@ -366,8 +367,11 @@ class BlurAwareTracker:
             lm_opts=cfg.lm_options(),
         )
         self.T_prev_b2w = pose_cap
-        avg_flow = float(avg_flow)
-        self.avg_kernel_length = float(avg_kernel)
+        # ONE device->host fetch for both decision scalars (every separate
+        # small read is a full round trip on remote-attached accelerators)
+        flow_kernel = np.asarray(flow_kernel_dev)
+        avg_flow = float(flow_kernel[0])
+        self.avg_kernel_length = float(flow_kernel[1])
         is_keyframe = (
             avg_flow > cfg.keyframe_max_flow_mag0
             and self.avg_kernel_length < cfg.keyframe_max_blur_kernel_mag
