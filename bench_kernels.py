@@ -75,7 +75,7 @@ def main():
         )
         mask = jnp.ones((n_kp,), jnp.float32)
 
-        def chained(knots, data, with_jacobian):
+        def chained(knots, data, with_jacobian, sampling):
             def body(carry, eps):
                 k = spline_retract(
                     knots,
@@ -83,36 +83,38 @@ def main():
                     jnp.zeros((2, 3), jnp.float32),
                 )
                 ev = res.evaluate(k, data, num_vir, DEG, 20.0, mask,
-                                  with_jacobian)
+                                  with_jacobian, sampling=sampling, window=32)
                 out = ev.cost if not with_jacobian else ev.cost + ev.hessian[0, 0]
                 return carry + out, None
 
             total, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(REPS, dtype=jnp.float32))
             return total
 
-        for wj in (False, True):
-            f = jax.jit(chained, static_argnums=(2,))
-            out = f(knots, data, wj)
-            jax.block_until_ready(out)  # compile + warm
-            t0 = time.time()
-            out = f(knots, data, wj)
-            jax.block_until_ready(out)
-            wall = (time.time() - t0) / REPS
-            P = pattern.shape[0]
-            samples = n_kp * P * num_vir
-            taps = 12 if wj else 4  # (I, gx, gy) vs I only, 4 corners each
-            gbytes = samples * taps * 4 / 1e9
-            print(json.dumps({
-                "scale": name,
-                "with_jacobian": wj,
-                "num_keypoints": n_kp,
-                "patch": int(P),
-                "num_vir": num_vir,
-                "samples": samples,
-                "eval_ms": round(wall * 1e3, 3),
-                "msamples_per_s": round(samples / wall / 1e6, 1),
-                "approx_gather_GBps": round(gbytes / wall, 2),
-            }))
+        for sampling in ("direct", "windowed"):
+            for wj in (False, True):
+                f = jax.jit(chained, static_argnums=(2, 3))
+                out = f(knots, data, wj, sampling)
+                jax.block_until_ready(out)  # compile + warm
+                t0 = time.time()
+                out = f(knots, data, wj, sampling)
+                jax.block_until_ready(out)
+                wall = (time.time() - t0) / REPS
+                P = pattern.shape[0]
+                samples = n_kp * P * num_vir
+                taps = 12 if wj else 4
+                gbytes = samples * taps * 4 / 1e9
+                print(json.dumps({
+                    "scale": name,
+                    "sampling": sampling,
+                    "with_jacobian": wj,
+                    "num_keypoints": n_kp,
+                    "patch": int(P),
+                    "num_vir": num_vir,
+                    "samples": samples,
+                    "eval_ms": round(wall * 1e3, 3),
+                    "msamples_per_s": round(samples / wall / 1e6, 1),
+                    "approx_gather_GBps": round(gbytes / wall, 2),
+                }), flush=True)
 
 
 if __name__ == "__main__":

@@ -105,42 +105,60 @@ def _huber_weight(r2, a):
     return rho, w2
 
 
-def build_normal_equations(problem: BAProblem, huber_a: float):
+def _allreduce(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def build_normal_equations(problem: BAProblem, huber_a: float, axis_name=None):
     """Blockwise GN system with robust weights. Returns
-    (cost, U, V, W_blk, g_p, g_x, mask)."""
+    (cost, U, V, W_blk, g_p, g_x, mask).
+
+    With ``axis_name`` set (landmarks sharded over a mesh axis inside
+    shard_map), the pose-indexed quantities (cost, U, g_p) are psum-reduced
+    to global values; the landmark-indexed blocks (V, W_blk, g_x) stay
+    shard-local — the Schur elimination then reduces them with one more psum
+    (schur_solve).
+    """
     r, Jp, Jx = _residuals_and_jacobians(problem)
     m = problem.map
-    mask = m.obs_mask * m.point_mask[None, :]          # [W, M]
-    r2 = jnp.sum(r * r, axis=-1)                       # [W, M]
+    mask = m.obs_mask * m.point_mask[None, :]          # [W, M_local]
+    r2 = jnp.sum(r * r, axis=-1)                       # [W, M_local]
     rho, w2 = _huber_weight(r2, huber_a)
-    wgt = w2 * mask                                    # [W, M]
+    wgt = w2 * mask                                    # [W, M_local]
 
-    n = jnp.maximum(mask.sum(), 1.0)
-    cost = jnp.sum(rho * mask) / n
+    n = jnp.maximum(_allreduce(mask.sum(), axis_name), 1.0)
+    cost = _allreduce(jnp.sum(rho * mask), axis_name) / n
 
-    U = jnp.einsum("wmia,wm,wmib->wab", Jp, wgt, Jp)
+    U = _allreduce(jnp.einsum("wmia,wm,wmib->wab", Jp, wgt, Jp), axis_name)
     V = jnp.einsum("wmia,wm,wmib->mab", Jx, wgt, Jx)
     Wb = jnp.einsum("wmia,wm,wmib->wmab", Jp, wgt, Jx)
-    g_p = jnp.einsum("wmia,wm,wmi->wa", Jp, wgt, r)
+    g_p = _allreduce(jnp.einsum("wmia,wm,wmi->wa", Jp, wgt, r), axis_name)
     g_x = jnp.einsum("wmia,wm,wmi->ma", Jx, wgt, r)
     return cost, U, V, Wb, g_p, g_x, mask
 
 
-def evaluate_cost(problem: BAProblem, huber_a: float):
+def evaluate_cost(problem: BAProblem, huber_a: float, axis_name=None):
     r, _, _ = _residuals_and_jacobians(problem)
     m = problem.map
     mask = m.obs_mask * m.point_mask[None, :]
     r2 = jnp.sum(r * r, axis=-1)
     rho, _ = _huber_weight(r2, huber_a)
-    n = jnp.maximum(mask.sum(), 1.0)
-    return jnp.sum(rho * mask) / n
+    n = jnp.maximum(_allreduce(mask.sum(), axis_name), 1.0)
+    return _allreduce(jnp.sum(rho * mask), axis_name) / n
 
 
-def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions):
+def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions,
+                axis_name=None):
     """Solve the damped GN system by eliminating landmark blocks.
 
     Returns (delta_pose [W,6], delta_point [M,3]).
     Pose 0 is gauge-fixed: its rows/cols are zeroed and replaced by identity.
+
+    Sharded mode (axis_name set): V/Wb/g_x hold this shard's landmarks; the
+    reduced camera system S and rhs are psum-assembled over the mesh, the
+    dense [6W,6W] solve runs redundantly-but-identically on every shard
+    (poses replicated), and the landmark back-substitution stays local —
+    the distributed Schur reduction of SURVEY.md §7 phase 6.
     """
     Wn, Mn = Wb.shape[0], Wb.shape[1]
     dtype = U.dtype
@@ -162,12 +180,16 @@ def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions):
     Vinv = jnp.linalg.inv(V)                               # [M,3,3]
     WVi = jnp.einsum("wmab,mbc->wmac", Wb, Vinv)           # [W,M,6,3]
 
-    S_blocks = jnp.einsum("wmac,vmbc->wavb", WVi, Wb)      # [W,6,V,6]
+    S_blocks = _allreduce(
+        jnp.einsum("wmac,vmbc->wavb", WVi, Wb), axis_name
+    )  # [W,6,V,6]
     S = -S_blocks.reshape(Wn * 6, Wn * 6)
     U_full = jax.scipy.linalg.block_diag(*[U[i] for i in range(Wn)])
     S = S + U_full
 
-    rhs = (g_p - jnp.einsum("wmac,mc->wa", WVi, g_x)).reshape(-1)
+    rhs = (
+        g_p - _allreduce(jnp.einsum("wmac,mc->wa", WVi, g_x), axis_name)
+    ).reshape(-1)
     L = jnp.linalg.cholesky(S)
     dp = -jax.scipy.linalg.cho_solve((L, True), rhs)
     dp = dp.reshape(Wn, 6) * gauge[:, None]
@@ -199,11 +221,15 @@ class _BAState(NamedTuple):
 
 
 def run_bundle_adjustment(
-    problem: BAProblem, opts: BAOptions
+    problem: BAProblem, opts: BAOptions, axis_name=None
 ) -> Tuple[BAProblem, BASummary]:
-    """LM loop over the Schur-reduced system, fully on device."""
+    """LM loop over the Schur-reduced system, fully on device.
+
+    axis_name: run inside shard_map with landmarks sharded over that mesh
+    axis (poses replicated); see build_normal_equations / schur_solve.
+    """
     dtype = problem.poses.t.dtype
-    cost0 = evaluate_cost(problem, opts.huber_a)
+    cost0 = evaluate_cost(problem, opts.huber_a, axis_name)
 
     state0 = _BAState(
         problem=problem,
@@ -218,11 +244,11 @@ def run_bundle_adjustment(
 
     def body(s: _BAState):
         cost, U, V, Wb, g_p, g_x, _ = build_normal_equations(
-            s.problem, opts.huber_a
+            s.problem, opts.huber_a, axis_name
         )
-        dp, dx = schur_solve(U, V, Wb, g_p, g_x, s.lam, opts)
+        dp, dx = schur_solve(U, V, Wb, g_p, g_x, s.lam, opts, axis_name)
         cand = _apply_step(s.problem, dp, dx)
-        cand_cost = evaluate_cost(cand, opts.huber_a)
+        cand_cost = evaluate_cost(cand, opts.huber_a, axis_name)
         ok = (cand_cost < s.cost) & jnp.all(jnp.isfinite(dp)) & jnp.all(
             jnp.isfinite(dx)
         )
@@ -250,4 +276,4 @@ def run_bundle_adjustment(
     )
 
 
-run_bundle_adjustment_jit = jax.jit(run_bundle_adjustment, static_argnums=(1,))
+run_bundle_adjustment_jit = jax.jit(run_bundle_adjustment, static_argnums=(1, 2))

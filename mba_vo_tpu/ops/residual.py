@@ -46,7 +46,12 @@ from ..core.spline import (
     virtual_pose_times,
 )
 from .image import in_bounds
-from .warp import warp_and_sample
+from .warp import frontoparallel_warp, warp_and_sample
+from .window_sampling import (
+    extract_windows,
+    sample_windows_lk,
+    stack_image_channels,
+)
 
 
 class TrackingLevelData(NamedTuple):
@@ -278,6 +283,79 @@ def compute_residuals(
     return r, J, valid
 
 
+def compute_residuals_windowed(
+    knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
+    with_jacobian: bool, window: int = 32,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Gather-free variant of :func:`compute_residuals`.
+
+    Replaces the per-sample image gather (which XLA scalarizes on TPU) with
+    per-keypoint reference-image windows (contiguous dynamic-slice DMA) and
+    MXU hat-weight contractions (ops.window_sampling). Samples landing
+    outside a keypoint's window contribute 0 — the window radius bounds the
+    representable blur-kernel length, the same quantity the tracker's
+    keyframe criterion already limits. All other semantics (masking, LK
+    derivative convention, averaging over virtual poses) are identical, and
+    the Jacobian is produced by ``jax.linearize`` over the global knot
+    tangent, reusing one primal pass for all 6K tangent seeds.
+    """
+    F = data.cur_imgs.shape[0]
+    H, W = data.img_ref.shape
+    N = data.kp_xy.shape[0]
+    P = data.pattern.shape[0]
+    Kk = knots.num_knots
+    dtype = knots.t.dtype
+
+    # layout (fixed during differentiation, like the reference)
+    pt0, pq0 = sample_virtual_poses(
+        knots, data.cap_times, data.exp_times, num_vir, degree
+    )
+    mid = num_vir // 2
+    anchors = patch_anchors(pt0[:, mid], pq0[:, mid], data.kp_xy, data.kp_z,
+                            data.K)
+    pix = patch_pixel_grid(anchors, data.pattern)        # [F, N, P, 2]
+    valid_center = in_bounds(pix, H, W) & (data.kp_mask[None, :, None] > 0)
+    obs = _current_intensity(data.cur_imgs, pix)
+
+    chans = stack_image_channels(data.img_ref, data.grad_ref)
+    windows, starts = extract_windows(chans, data.kp_xy, window)  # [N,3,w,w]
+    windows = jax.lax.stop_gradient(windows)
+    starts_f = starts.astype(dtype)
+
+    def residuals_of(delta: jnp.ndarray) -> jnp.ndarray:
+        k = spline_retract(
+            knots, delta[: 3 * Kk].reshape(Kk, 3), delta[3 * Kk:].reshape(Kk, 3)
+        )
+        pt, pq = sample_virtual_poses(
+            k, data.cap_times, data.exp_times, num_vir, degree
+        )
+        # warp every (f, n, p, v) patch pixel into the reference view
+        ref_xy = frontoparallel_warp(
+            pt[:, None, None, :, :],            # [F,1,1,V,3]
+            pq[:, None, None, :, :],            # [F,1,1,V,4]
+            data.kp_z[None, :, None, None],     # [1,N,1,1]
+            data.K,
+            pix[:, :, :, None, :],              # [F,N,P,1,2]
+        )                                        # [F,N,P,V,2]
+        valid_s = in_bounds(ref_xy, H, W)
+        local = ref_xy - starts_f[None, :, None, None, :]
+        loc = local.transpose(1, 0, 2, 3, 4).reshape(N, F * P * num_vir, 2)
+        vs = valid_s.transpose(1, 0, 2, 3).reshape(N, F * P * num_vir)
+        I = sample_windows_lk(windows, loc, vs.astype(dtype))  # [N, S]
+        I = I.reshape(N, F, P, num_vir).transpose(1, 0, 2, 3)  # [F,N,P,V]
+        pred = I.mean(axis=-1)
+        return jnp.where(valid_center, pred - obs, 0.0)
+
+    zero = jnp.zeros(6 * Kk, dtype)
+    if not with_jacobian:
+        return residuals_of(zero), None, valid_center
+
+    r, lin = jax.linearize(residuals_of, zero)
+    J_cols = jax.vmap(lin)(jnp.eye(6 * Kk, dtype=dtype))  # [6K, F, N, P]
+    J = jnp.moveaxis(J_cols, 0, -1)                       # [F, N, P, 6K]
+    return r, J, valid_center
+
+
 # --------------------------------------------------------------- normal equations
 
 
@@ -307,8 +385,15 @@ def evaluate(
     outlier_mask: jnp.ndarray,
     with_jacobian: bool = True,
     axis_name: Optional[str] = None,
+    sampling: str = "direct",
+    window: int = 32,
 ) -> Evaluation:
     """Full objective evaluation: cost (+ gradient + Gauss-Newton Hessian).
+
+    sampling: "direct" (per-sample gather; exact) or "windowed" (per-keypoint
+    windows + MXU contractions; orders of magnitude faster on TPU, samples
+    beyond ``window``/2 px of the keypoint contribute 0 — see
+    compute_residuals_windowed).
 
     outlier_mask: [N], 1.0 = inlier. Outlier keypoints are excluded from the
     cost/H/g accumulation AND from the residual-count normalizer, but their
@@ -329,7 +414,14 @@ def evaluate(
     def allreduce(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
-    r, J, valid = compute_residuals(knots, data, num_vir, degree, with_jacobian)
+    if sampling == "windowed":
+        r, J, valid = compute_residuals_windowed(
+            knots, data, num_vir, degree, with_jacobian, window
+        )
+    else:
+        r, J, valid = compute_residuals(
+            knots, data, num_vir, degree, with_jacobian
+        )
     rho, w = huber_weights(r, huber_a)
 
     live_kp = data.kp_mask * outlier_mask  # [N] (local shard)

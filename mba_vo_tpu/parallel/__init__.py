@@ -8,3 +8,8 @@ collective analogue of merge_hessian_gradient_cost.cpp's scatter-add.
 
 from .mesh import make_mesh, pad_keypoints, shard_level_data
 from .sharded import optimize_level_sharded
+from .sharded_ba import (
+    make_ba_mesh,
+    shard_ba_problem,
+    run_bundle_adjustment_sharded,
+)

@@ -60,6 +60,8 @@ class LMOptions:
     huber_a: float = 20.0
     max_chi_square_error: float = 3.0
     solver: str = "cholesky"  # "cholesky" | "lu" | "svd"
+    sampling: str = "direct"  # "direct" | "windowed" (see ops.residual)
+    window: int = 32
 
 
 class LMSummary(NamedTuple):
@@ -206,7 +208,8 @@ def optimize_level(
     mask0 = jnp.ones((N,), dtype=dtype)
 
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
-                   axis_name=axis_name)
+                   axis_name=axis_name, sampling=opts.sampling,
+                   window=opts.window)
 
     state0 = _LMState(
         knots=knots,
@@ -251,7 +254,7 @@ def optimize_level(
             cand = spline_retract_flat(s.knots, step)
             ev_c = evaluate(
                 cand, data, num_vir, degree, opts.huber_a, s.outlier_mask, False,
-                axis_name=axis_name,
+                axis_name=axis_name, sampling=opts.sampling, window=opts.window,
             )
             quality = _step_quality(s.ev, ev_c.cost, model_cost_change)
             success = (quality > opts.min_step_quality) & (ev_c.cost < s.cost)
@@ -266,7 +269,8 @@ def optimize_level(
                 )
                 ev_f = evaluate(
                     cand, data, num_vir, degree, opts.huber_a, new_mask, True,
-                    axis_name=axis_name,
+                    axis_name=axis_name, sampling=opts.sampling,
+                    window=opts.window,
                 )
                 new_radius = s.radius / jnp.maximum(
                     1.0 / 3.0, 1.0 - (2.0 * quality - 1.0) ** 3

@@ -63,6 +63,11 @@ class TrackerConfig:
     max_num_iterations: int = 50
     min_step_quality: float = 0.5
     min_abs_cost_decrease: float = 1e-3
+    # residual sampling backend: "windowed" = per-keypoint windows + MXU
+    # contractions (fast on TPU); "direct" = per-sample gather (exact
+    # regardless of blur length)
+    sampling: str = "windowed"
+    sampling_window: int = 32
     # keyframe criteria (.h:57-61)
     keyframe_max_flow_mag0: float = 15.0
     keyframe_max_flow_mag1: float = 30.0
@@ -83,6 +88,8 @@ class TrackerConfig:
             min_abs_cost_decrease=self.min_abs_cost_decrease,
             huber_a=self.huber_a,
             max_chi_square_error=self.max_chi_square_error,
+            sampling=self.sampling,
+            window=self.sampling_window,
         )
 
 

@@ -175,3 +175,75 @@ class TestShardedLM:
 
         dt_mid, dr_mid = pose_error(out_sh, truth, CAP)
         assert dt_mid < 1e-3 and dr_mid < 1e-3
+
+
+class TestShardedBA:
+    """Landmark-sharded bundle adjustment equals the single-device solve
+    (BASELINE.json config 5 on the virtual CPU mesh)."""
+
+    def _problem(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_backend import synthetic_ba_problem
+
+        return synthetic_ba_problem(W=4, M=60, seed=7)
+
+    def test_sharded_matches_single_device(self, mesh8):
+        from mba_vo_tpu.backend.ba import (
+            BAOptions, evaluate_cost, run_bundle_adjustment,
+        )
+        from mba_vo_tpu.core import lie as _lie
+        from mba_vo_tpu.core.transform import Pose as _Pose
+        from mba_vo_tpu.parallel.sharded_ba import (
+            make_ba_mesh, run_bundle_adjustment_sharded, shard_ba_problem,
+        )
+
+        problem, X_true, t_true, q_true = self._problem()
+        rng = np.random.default_rng(8)
+        dp = rng.normal(0, 0.02, (4, 6))
+        dp[0] = 0
+        noisy = problem._replace(
+            poses=_Pose(
+                t=problem.poses.t + jnp.asarray(dp[:, :3]),
+                q=_lie.quat_multiply(
+                    problem.poses.q, _lie.quat_exp(jnp.asarray(dp[:, 3:]))
+                ),
+            ),
+            map=problem.map._replace(
+                points=problem.map.points
+                + jnp.asarray(rng.normal(0, 0.05, X_true.shape))
+            ),
+        )
+        opts = BAOptions(max_iterations=30, huber_a=1e6)
+        out_ref, sum_ref = run_bundle_adjustment(noisy, opts)
+
+        mesh = make_ba_mesh(8)
+        sharded = shard_ba_problem(noisy, mesh)
+        out_sh, sum_sh = run_bundle_adjustment_sharded(sharded, opts, mesh)
+
+        assert float(sum_sh.final_cost) < 1e-8
+        # both converge to the same optimum (the BA landscape here is benign)
+        np.testing.assert_allclose(
+            np.asarray(out_sh.poses.t), np.asarray(out_ref.poses.t), atol=1e-5
+        )
+        # reconstructed landmarks agree on the original (non-padded) slots
+        np.testing.assert_allclose(
+            np.asarray(out_sh.map.points)[:60],
+            np.asarray(out_ref.map.points), atol=1e-4,
+        )
+
+    def test_padded_shards_inert(self, mesh8):
+        from mba_vo_tpu.backend.ba import BAOptions, evaluate_cost
+        from mba_vo_tpu.parallel.sharded_ba import (
+            make_ba_mesh, run_bundle_adjustment_sharded, shard_ba_problem,
+        )
+
+        problem, *_ = self._problem()
+        mesh = make_ba_mesh(8)
+        sharded = shard_ba_problem(problem, mesh)  # pads 60 -> 64
+        opts = BAOptions(max_iterations=3, huber_a=1e6)
+        out, summary = run_bundle_adjustment_sharded(sharded, opts, mesh)
+        assert np.isfinite(float(summary.final_cost))
+        np.testing.assert_allclose(
+            np.asarray(out.map.points)[60:], np.ones((4, 3)), atol=1e-12
+        )
