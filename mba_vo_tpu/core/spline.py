@@ -152,19 +152,34 @@ def _gather_window(arr: jnp.ndarray, start: jnp.ndarray, size: int) -> jnp.ndarr
     return lax.dynamic_slice_in_dim(arr, start, size, axis=0)
 
 
-def spline_pose_at(knots: SplineKnots, time, degree: int) -> Pose:
-    """Sample the spline pose at a scalar time (reference Spline.h:222-281)."""
+def spline_pose_at_times(knots: SplineKnots, times: jnp.ndarray, degree: int) -> Pose:
+    """Vectorized sampling at a [N]-shaped times array -> Pose with [N, ...].
+
+    Batch-first TPU design: the per-time knot windows are selected with a
+    one-hot [N, degree, K] contraction (two small matmuls) instead of N
+    gathers/dynamic-slices — on TPU the gather path scalarizes and the
+    launch overhead of its many tiny ops dominates the whole tracker
+    (this one function was ~90% of a full objective evaluation before the
+    rewrite). K is tiny (<= 16, reference blur_aware_direct_tracker.h:47)
+    so the one-hot contraction is effectively free on the VPU/MXU.
+    """
+    dtype = knots.t.dtype
+    times = jnp.asarray(times, dtype)
     idx, u = spline_segment_start_and_u(
-        time, knots.t0, knots.dt, knots.num_knots, degree
-    )
-    wt = _gather_window(knots.t, idx, degree)
-    wq = _gather_window(knots.q, idx, degree)
+        times, knots.t0, knots.dt, knots.num_knots, degree
+    )  # idx [N] int32, u [N]
+    K = knots.num_knots
+    taps = idx[..., None, None] + jnp.arange(degree, dtype=jnp.int32)[:, None]
+    sel = (taps == jnp.arange(K, dtype=jnp.int32)).astype(dtype)  # [N, deg, K]
+    wt = jnp.einsum("...dk,ki->...di", sel, knots.t)  # [N, deg, 3]
+    wq = jnp.einsum("...dk,ki->...di", sel, knots.q)  # [N, deg, 4]
     return Pose(t=spline_interp_t(wt, u, degree), q=spline_interp_q(wq, u, degree))
 
 
-def spline_pose_at_times(knots: SplineKnots, times: jnp.ndarray, degree: int) -> Pose:
-    """Vectorized sampling at a [N]-shaped times array -> Pose with [N, ...]."""
-    return jax.vmap(lambda tt: spline_pose_at(knots, tt, degree))(times)
+def spline_pose_at(knots: SplineKnots, time, degree: int) -> Pose:
+    """Sample the spline pose at a scalar time (reference Spline.h:222-281)."""
+    p = spline_pose_at_times(knots, jnp.asarray(time)[None], degree)
+    return Pose(t=p.t[0], q=p.q[0])
 
 
 def spline_retract(knots: SplineKnots, delta_t: jnp.ndarray, delta_omega: jnp.ndarray) -> SplineKnots:

@@ -42,6 +42,7 @@ from ..core.lie import quat_conjugate, quat_rotate
 from ..core.spline import (
     SplineKnots,
     spline_pose_at,
+    spline_pose_at_times,
     spline_retract,
     virtual_pose_times,
 )
@@ -112,13 +113,9 @@ def sample_virtual_poses(
     times = jax.vmap(
         lambda c, e: virtual_pose_times(c, e, num_vir)
     )(cap_times, exp_times)  # [F, V]
-
-    def one(tt):
-        p = spline_pose_at(knots, tt, degree)
-        return p.t, p.q
-
-    t, q = jax.vmap(jax.vmap(one))(times)
-    return t, q
+    p = spline_pose_at_times(knots, times.reshape(-1), degree)
+    F = times.shape[0]
+    return p.t.reshape(F, num_vir, 3), p.q.reshape(F, num_vir, 4)
 
 
 def pose_jacobians(
@@ -138,20 +135,20 @@ def pose_jacobians(
         lambda c, e: virtual_pose_times(c, e, num_vir)
     )(cap_times, exp_times)
     flat_times = times.reshape(-1)
+    T = flat_times.shape[0]
     z = jnp.zeros((K, 3), dtype=knots.t.dtype)
 
-    def pose7(d_t, d_o, tt):
+    def pose7_all(d_t, d_o):
         k = spline_retract(knots, d_t, d_o)
-        p = spline_pose_at(k, tt, degree)
-        return jnp.concatenate([p.t, p.q])
+        p = spline_pose_at_times(k, flat_times, degree)
+        return jnp.concatenate([p.t, p.q], axis=-1)  # [T, 7]
 
-    def jac_one(tt):
-        Jt, Jo = jax.jacfwd(pose7, argnums=(0, 1))(z, z, tt)  # [7, K, 3] each
-        return jnp.concatenate(
-            [Jt.reshape(7, 3 * K), Jo.reshape(7, 3 * K)], axis=-1
-        )
-
-    J = jax.vmap(jac_one)(flat_times)  # [F*V, 7, 6K]
+    # ONE batched jacfwd over all F*V times (the per-time jacfwd variant
+    # compiles to hundreds of tiny launch-bound ops on TPU)
+    Jt, Jo = jax.jacfwd(pose7_all, argnums=(0, 1))(z, z)  # [T, 7, K, 3] each
+    J = jnp.concatenate(
+        [Jt.reshape(T, 7, 3 * K), Jo.reshape(T, 7, 3 * K)], axis=-1
+    )
     return J.reshape(times.shape[0], num_vir, 7, 6 * K)
 
 

@@ -125,21 +125,24 @@ def _keyframe_flow_stats(
         axis=-1,
     )
 
-    def project_through(time):
-        p = spline_pose_at(knots, time, degree)
-        inv_q = quat_conjugate(p.q)
-        P = quat_rotate(inv_q[None], P3d_ref - p.t[None])
-        return jnp.stack(
-            [P[:, 0] / P[:, 2] * K[0] + K[2], P[:, 1] / P[:, 2] * K[1] + K[3]],
-            axis=-1,
-        )
+    # one batched pose sample for all three probe times (mid, exposure start,
+    # exposure end) — scalar-at-a-time sampling is launch-bound on TPU
+    times = jnp.stack(
+        [cap_time, cap_time - 0.5 * exp_time, cap_time + 0.5 * exp_time]
+    )
+    from ..core.spline import spline_pose_at_times
+
+    p = spline_pose_at_times(knots, times, degree)  # t [3,3], q [3,4]
+    inv_q = quat_conjugate(p.q)  # [3, 4]
+    P = quat_rotate(inv_q[:, None, :], P3d_ref[None] - p.t[:, None, :])  # [3,N,3]
+    kpt = jnp.stack(
+        [P[..., 0] / P[..., 2] * K[0] + K[2], P[..., 1] / P[..., 2] * K[1] + K[3]],
+        axis=-1,
+    )  # [3, N, 2]
 
     n = jnp.maximum(kp_mask.sum(), 1.0)
-    kpt_mid = project_through(cap_time)
-    flow_sq = jnp.sum(((kpt_mid - kp_xy) ** 2).sum(-1) * kp_mask) / n
-    kpt_a = project_through(cap_time - 0.5 * exp_time)
-    kpt_b = project_through(cap_time + 0.5 * exp_time)
-    kern_sq = jnp.sum(((kpt_a - kpt_b) ** 2).sum(-1) * kp_mask) / n
+    flow_sq = jnp.sum(((kpt[0] - kp_xy) ** 2).sum(-1) * kp_mask) / n
+    kern_sq = jnp.sum(((kpt[1] - kpt[2]) ** 2).sum(-1) * kp_mask) / n
     return jnp.sqrt(flow_sq), jnp.sqrt(kern_sq)
 
 
@@ -200,11 +203,7 @@ def _track_frame_fused(
     neigh_velocity,
     T_prev: Pose,
     T_keyframe: Pose,
-    dt_frame,
-    cap_time,
-    exp_time,
-    window_t0,
-    knot_dt,
+    scalars,       # [5] packed (dt_frame, cap_time, exp_time, window_t0, knot_dt)
     cur_img,
     kf_imgs,       # tuple of [H_lv, W_lv] keyframe images
     kf_grads,      # tuple of [H_lv, W_lv, 2] gradient images
@@ -223,7 +222,13 @@ def _track_frame_fused(
     prediction, current-frame pyramid, coarse-to-fine LM over all levels, and
     pose/velocity/keyframe statistics. A single host->device dispatch per
     frame — the reference performs dozens of host round-trips per LM
-    iteration instead (SURVEY.md §3.2)."""
+    iteration instead (SURVEY.md §3.2). All per-frame scalars arrive packed
+    in ONE [5] array: on remote-attached TPU runtimes every host->device
+    buffer costs milliseconds of link latency, so one transfer replaces
+    five."""
+    dt_frame, cap_time, exp_time, window_t0, knot_dt = (
+        scalars[0], scalars[1], scalars[2], scalars[3], scalars[4]
+    )
     knots = _pre_track(knots, neigh_velocity, dt_frame, window_t0, knot_dt)
 
     pyr = image_pyramid(cur_img, num_levels)
@@ -275,6 +280,15 @@ class BlurAwareTracker:
         self.neigh_velocity = jnp.zeros(6, self.dtype)
         self.avg_kernel_length = 1e3
         self.last_summaries: list = []
+        # deferred keyframe decision: (stats_dev, pose_cap, cap_time,
+        # sharp_img, depth_map). The decision scalars are fetched at the
+        # START of the next track_frame so the device->host link round trip
+        # (~tens of ms on remote-attached TPUs) overlaps with this frame's
+        # device execution instead of serializing after it. Semantics are
+        # unchanged: the keyframe switch is still applied before the next
+        # frame is submitted, exactly like the reference's synchronous flow
+        # (blur_aware_direct_tracker.cpp:153-196).
+        self._pending: Optional[tuple] = None
 
     # ------------------------------------------------------------ keyframe
 
@@ -342,25 +356,58 @@ class BlurAwareTracker:
             )
             return self.T_keyframe
 
-        # whole tracked frame = ONE fused device call: prediction, pyramid,
-        # coarse-to-fine LM, pose/velocity/keyframe statistics
-        # (.cpp:120-263 collapsed)
+        # Speculative pipelining: submit this frame against the CURRENT
+        # keyframe state first, then resolve the previous frame's keyframe
+        # decision (whose stats copy has been in flight since that frame was
+        # submitted — the device->host round trip overlaps this submission).
+        # If the previous frame *did* become a keyframe, the speculative
+        # submission used stale state: redo it against the corrected state.
+        # Keyframes are sparse, so the steady-state path has ZERO synchronous
+        # host<->device round trips per frame; semantics are identical to the
+        # reference's synchronous flow (the redo reproduces exactly what a
+        # synchronous tracker would have computed).
         dt_frame = cap_time - self.prev_timestamp
+        blur_dev = jnp.asarray(blur_img, self.dtype)
+        out = self._submit(blur_dev, cap_time, exp_time, dt_frame)
+        if self.flush():
+            out = self._submit(blur_dev, cap_time, exp_time, dt_frame)
+
+        (self.knots, pose_cap, result, self.neigh_velocity,
+         flow_kernel_dev, self.last_summaries) = out
+        self.T_prev_b2w = pose_cap
+        # start the decision-scalar copy now; it is read one frame later
+        try:
+            flow_kernel_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        self._pending = (flow_kernel_dev, pose_cap, cap_time, sharp_img,
+                         depth_map)
+        self.prev_timestamp = cap_time
+        return result
+
+    def _submit(self, blur_dev, cap_time: float, exp_time: float,
+                dt_frame: float):
+        """Enqueue the fused tracking step against current state (pure —
+        does not mutate tracker state)."""
+        cfg = self.cfg
         kls = self.keyframe_levels
-        (
-            self.knots, pose_cap, result, self.neigh_velocity,
-            flow_kernel_dev, self.last_summaries,
-        ) = _track_frame_fused(
+        scalars = jnp.asarray(
+            [
+                dt_frame,
+                cap_time,
+                exp_time,
+                cap_time - 0.5 * exp_time,
+                max(dt_frame, exp_time, 1e-3),
+            ],
+            self.dtype,
+        )
+        return _track_frame_fused(
             self.knots,
             self.neigh_velocity,
             self.T_prev_b2w,
             self.T_keyframe,
-            jnp.asarray(dt_frame, self.dtype),
-            jnp.asarray(cap_time, self.dtype),
-            jnp.asarray(exp_time, self.dtype),
-            jnp.asarray(cap_time - 0.5 * exp_time, self.dtype),
-            jnp.asarray(max(dt_frame, exp_time, 1e-3), self.dtype),
-            jnp.asarray(blur_img, self.dtype),
+            scalars,
+            blur_dev,
             tuple(l["img"] for l in kls),
             tuple(l["grad"] for l in kls),
             tuple(l["kp_xy"] for l in kls),
@@ -373,9 +420,20 @@ class BlurAwareTracker:
             degree=cfg.spline_degree,
             lm_opts=cfg.lm_options(),
         )
-        self.T_prev_b2w = pose_cap
-        # ONE device->host fetch for both decision scalars (every separate
-        # small read is a full round trip on remote-attached accelerators)
+
+    def flush(self) -> bool:
+        """Apply a deferred keyframe decision (no-op when none is pending).
+
+        Returns True iff a new keyframe was installed (callers that submitted
+        speculative work against the old keyframe must then redo it). Called
+        automatically inside track_frame; call manually at sequence end if
+        the final frame's keyframe state matters.
+        """
+        if self._pending is None:
+            return False
+        flow_kernel_dev, pose_cap, cap_time, sharp_img, depth_map = self._pending
+        self._pending = None
+        cfg = self.cfg
         flow_kernel = np.asarray(flow_kernel_dev)
         avg_flow = float(flow_kernel[0])
         self.avg_kernel_length = float(flow_kernel[1])
@@ -391,9 +449,8 @@ class BlurAwareTracker:
                 jnp.asarray(cap_time, self.dtype), cfg.spline_degree,
             )
             self.T_prev_b2w = pose_identity(self.dtype)
-
-        self.prev_timestamp = cap_time
-        return result
+            return True
+        return False
 
     # -------------------------------------------------------------- helpers
 
