@@ -373,6 +373,73 @@ def huber_weights(r: jnp.ndarray, huber_a: float) -> Tuple[jnp.ndarray, jnp.ndar
     return rho, w
 
 
+def compute_rjv(
+    knots: SplineKnots,
+    data: TrackingLevelData,
+    num_vir: int,
+    degree: int,
+    with_jacobian: bool,
+    sampling: str = "direct",
+    window: int = 32,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Residuals r [F,N,P], Jacobian J [F,N,P,6K] (or None), valid mask.
+
+    Mask-independent: the outlier mask only reweights the reductions, so one
+    (r, J) computation can be assembled under several masks (the LM loop
+    reuses the candidate's residuals for both the accept decision under the
+    old mask and the H/g refresh under the re-detected mask — the reference
+    re-runs its whole GPU pipeline instead, blur_aware_direct_tracker.cpp
+    :833-903, because its arena layout couples evaluation and reduction)."""
+    if sampling == "windowed":
+        return compute_residuals_windowed(
+            knots, data, num_vir, degree, with_jacobian, window
+        )
+    return compute_residuals(knots, data, num_vir, degree, with_jacobian)
+
+
+def assemble(
+    r: jnp.ndarray,
+    J: Optional[jnp.ndarray],
+    data: TrackingLevelData,
+    huber_a: float,
+    outlier_mask: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> Evaluation:
+    """Huber cost (+ gradient + Gauss-Newton Hessian) from residuals.
+
+    The reductions of the reference's patch/frame kernels + merge
+    (compute_hessian_gradients_cost.cu:165-283,
+    merge_hessian_gradient_cost.cpp) as two matmuls and a handful of sums.
+    """
+    F = data.cur_imgs.shape[0]
+    P = data.pattern.shape[0]
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    rho, w = huber_weights(r, huber_a)
+
+    live_kp = data.kp_mask * outlier_mask  # [N] (local shard)
+    n_res = jnp.maximum(allreduce(jnp.sum(live_kp)) * F * P, 1.0)
+    inv_n = 1.0 / n_res
+
+    # per-patch costs over ALL (local) keypoints (outlier statistic)
+    patch_costs = jnp.sum(rho, axis=-1) * inv_n  # [F, N]
+
+    kp_w = live_kp[None, :, None]  # [F, N, P] broadcast
+    cost = allreduce(jnp.sum(rho * kp_w)) * inv_n
+
+    if J is None:
+        return Evaluation(cost=cost, gradient=None, hessian=None,
+                          patch_costs=patch_costs)
+
+    rw = (r * w * kp_w).reshape(-1)                      # [M]
+    Jw = (J * (w * kp_w)[..., None]).reshape(rw.shape[0], -1)  # [M, 6K]
+    g = allreduce(Jw.T @ rw) * inv_n
+    Hm = allreduce(Jw.T @ Jw) * inv_n
+    return Evaluation(cost=cost, gradient=g, hessian=Hm, patch_costs=patch_costs)
+
+
 def evaluate(
     knots: SplineKnots,
     data: TrackingLevelData,
@@ -405,38 +472,7 @@ def evaluate(
     TPU-collective analogue of the reference's host-side scatter-add merge
     (merge_hessian_gradient_cost.cpp). patch_costs stay shard-local.
     """
-    F = data.cur_imgs.shape[0]
-    P = data.pattern.shape[0]
-
-    def allreduce(x):
-        return jax.lax.psum(x, axis_name) if axis_name is not None else x
-
-    if sampling == "windowed":
-        r, J, valid = compute_residuals_windowed(
-            knots, data, num_vir, degree, with_jacobian, window
-        )
-    else:
-        r, J, valid = compute_residuals(
-            knots, data, num_vir, degree, with_jacobian
-        )
-    rho, w = huber_weights(r, huber_a)
-
-    live_kp = data.kp_mask * outlier_mask  # [N] (local shard)
-    n_res = jnp.maximum(allreduce(jnp.sum(live_kp)) * F * P, 1.0)
-    inv_n = 1.0 / n_res
-
-    # per-patch costs over ALL (local) keypoints (outlier statistic)
-    patch_costs = jnp.sum(rho, axis=-1) * inv_n  # [F, N]
-
-    kp_w = live_kp[None, :, None]  # [F, N, P] broadcast
-    cost = allreduce(jnp.sum(rho * kp_w)) * inv_n
-
-    if not with_jacobian:
-        return Evaluation(cost=cost, gradient=None, hessian=None,
-                          patch_costs=patch_costs)
-
-    rw = (r * w * kp_w).reshape(-1)                      # [M]
-    Jw = (J * (w * kp_w)[..., None]).reshape(rw.shape[0], -1)  # [M, 6K]
-    g = allreduce(Jw.T @ rw) * inv_n
-    Hm = allreduce(Jw.T @ Jw) * inv_n
-    return Evaluation(cost=cost, gradient=g, hessian=Hm, patch_costs=patch_costs)
+    r, J, _valid = compute_rjv(
+        knots, data, num_vir, degree, with_jacobian, sampling, window
+    )
+    return assemble(r, J, data, huber_a, outlier_mask, axis_name)

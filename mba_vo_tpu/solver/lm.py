@@ -39,7 +39,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.spline import SplineKnots, spline_retract_flat
-from ..ops.residual import Evaluation, TrackingLevelData, evaluate
+from ..ops.residual import (
+    Evaluation,
+    TrackingLevelData,
+    assemble,
+    compute_rjv,
+    evaluate,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,26 +258,32 @@ def optimize_level(
 
         def valid_branch(s: _LMState):
             cand = spline_retract_flat(s.knots, step)
-            ev_c = evaluate(
-                cand, data, num_vir, degree, opts.huber_a, s.outlier_mask, False,
-                axis_name=axis_name, sampling=opts.sampling, window=opts.window,
+            # ONE residual+Jacobian computation per iteration: (r, J) are
+            # outlier-mask-independent, so the candidate-cost check (old
+            # mask) and the accepted-state H/g refresh (new mask) are both
+            # cheap re-assemblies of the same tensors. The reference re-runs
+            # its full GPU pipeline for each (SURVEY.md §3.2); on TPU the
+            # Jacobian is a handful of batched tangent passes, so computing
+            # it speculatively costs less than a second pipeline pass.
+            r, J, _valid = compute_rjv(
+                cand, data, num_vir, degree, True,
+                sampling=opts.sampling, window=opts.window,
             )
+            ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
+                            axis_name=axis_name)
             quality = _step_quality(s.ev, ev_c.cost, model_cost_change)
             success = (quality > opts.min_step_quality) & (ev_c.cost < s.cost)
             acd = s.cost - ev_c.cost
 
             def accept(s: _LMState):
-                # detectOutliers from candidate patch costs, then full re-eval
+                # detectOutliers from candidate patch costs, then re-assembly
                 # with the new mask (cpp:627-628, 896-903)
                 new_mask, _ = detect_outliers(
                     ev_c.patch_costs, data.kp_mask, opts.max_chi_square_error,
                     axis_name=axis_name,
                 )
-                ev_f = evaluate(
-                    cand, data, num_vir, degree, opts.huber_a, new_mask, True,
-                    axis_name=axis_name, sampling=opts.sampling,
-                    window=opts.window,
-                )
+                ev_f = assemble(r, J, data, opts.huber_a, new_mask,
+                                axis_name=axis_name)
                 new_radius = s.radius / jnp.maximum(
                     1.0 / 3.0, 1.0 - (2.0 * quality - 1.0) ** 3
                 )
