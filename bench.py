@@ -45,7 +45,7 @@ def main():
     vel_w = np.array([0.02, 0.05, -0.08])
     kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
     q = kq[0]
-    n_frames = 12
+    n_frames = 36
     for _ in range(1, n_frames + 4):
         kt.append(kt[-1] + vel_t * FRAME_DT)
         q = np.asarray(
@@ -98,16 +98,21 @@ def main():
         for cap, blurred in frames
     ]
 
-    # warmup (compile all three pyramid levels)
-    for cap, blurred in frames[:2]:
-        est = tracker.track_frame(None, blurred, cap, EXPOSURE)
-    jax.block_until_ready(est.t)
+    # warmup (compile all three pyramid levels + the chunked scan)
+    CHUNK = 12
+    caps = [cap for cap, _ in frames]
+    imgs = [blurred for _, blurred in frames]
+    exps = [EXPOSURE] * len(frames)
+    est = tracker.track_frames(imgs[:CHUNK], caps[:CHUNK], exps[:CHUNK],
+                               chunk=CHUNK)
+    jax.block_until_ready(est[-1].t)
 
-    timed = frames[2:]
+    timed = frames[CHUNK:]
     t0 = time.time()
-    for cap, blurred in timed:
-        est = tracker.track_frame(None, blurred, cap, EXPOSURE)
-    jax.block_until_ready(est.t)
+    est = tracker.track_frames(
+        imgs[CHUNK:], caps[CHUNK:], exps[CHUNK:], chunk=CHUNK
+    )
+    jax.block_until_ready(est[-1].t)
     wall = time.time() - t0
     fps = len(timed) / wall
 

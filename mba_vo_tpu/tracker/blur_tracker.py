@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.lie import quat_conjugate, quat_multiply, quat_log, quat_rotate
 from ..core.spline import (
@@ -194,38 +195,28 @@ from functools import partial
 from ..solver.lm import optimize_level
 
 
-@partial(
-    jax.jit,
-    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
-)
-def _track_frame_fused(
+def _frame_step(
     knots: SplineKnots,
     neigh_velocity,
     T_prev: Pose,
-    T_keyframe: Pose,
     scalars,       # [5] packed (dt_frame, cap_time, exp_time, window_t0, knot_dt)
     cur_img,
-    kf_imgs,       # tuple of [H_lv, W_lv] keyframe images
-    kf_grads,      # tuple of [H_lv, W_lv, 2] gradient images
-    kf_kp_xy,      # tuple of [N, 2]
-    kf_kp_z,       # tuple of [N]
-    kf_kp_mask,    # tuple of [N]
+    kf_imgs,
+    kf_grads,
+    kf_kp_xy,
+    kf_kp_z,
+    kf_kp_mask,
     pattern,
     K0,
-    *,
     num_levels: int,
     num_virtual_poses,
     degree: int,
     lm_opts,
 ):
-    """One fused device call for a whole tracked frame: constant-velocity
+    """Track ONE frame against the (fixed) keyframe state: constant-velocity
     prediction, current-frame pyramid, coarse-to-fine LM over all levels, and
-    pose/velocity/keyframe statistics. A single host->device dispatch per
-    frame — the reference performs dozens of host round-trips per LM
-    iteration instead (SURVEY.md §3.2). All per-frame scalars arrive packed
-    in ONE [5] array: on remote-attached TPU runtimes every host->device
-    buffer costs milliseconds of link latency, so one transfer replaces
-    five."""
+    pose/velocity/keyframe statistics. Pure function of device values — the
+    shared body of the single-frame and chunked dispatch paths."""
     dt_frame, cap_time, exp_time, window_t0, knot_dt = (
         scalars[0], scalars[1], scalars[2], scalars[3], scalars[4]
     )
@@ -256,9 +247,110 @@ def _track_frame_fused(
         knots, T_prev, cap_time, dt_frame,
         kf_kp_xy[0], kf_kp_z[0], kf_kp_mask[0], K0, exp_time, degree,
     )
-    result = pose_compose(T_keyframe, pose_cap)
     stats = jnp.stack([avg_flow, avg_kernel])
+    return knots, pose_cap, neigh_velocity, stats, summaries
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
+)
+def _track_frame_fused(
+    knots: SplineKnots,
+    neigh_velocity,
+    T_prev: Pose,
+    T_keyframe: Pose,
+    scalars,       # [5] packed (dt_frame, cap_time, exp_time, window_t0, knot_dt)
+    cur_img,
+    kf_imgs,       # tuple of [H_lv, W_lv] keyframe images
+    kf_grads,      # tuple of [H_lv, W_lv, 2] gradient images
+    kf_kp_xy,      # tuple of [N, 2]
+    kf_kp_z,       # tuple of [N]
+    kf_kp_mask,    # tuple of [N]
+    pattern,
+    K0,
+    *,
+    num_levels: int,
+    num_virtual_poses,
+    degree: int,
+    lm_opts,
+):
+    """One fused device call for a whole tracked frame. A single
+    host->device dispatch per frame — the reference performs dozens of host
+    round-trips per LM iteration instead (SURVEY.md §3.2). All per-frame
+    scalars arrive packed in ONE [5] array: on remote-attached TPU runtimes
+    every host->device buffer costs milliseconds of link latency, so one
+    transfer replaces five."""
+    knots, pose_cap, neigh_velocity, stats, summaries = _frame_step(
+        knots, neigh_velocity, T_prev, scalars, cur_img,
+        kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, pattern, K0,
+        num_levels, num_virtual_poses, degree, lm_opts,
+    )
+    result = pose_compose(T_keyframe, pose_cap)
     return knots, pose_cap, result, neigh_velocity, stats, summaries
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
+)
+def _track_chunk_fused(
+    knots: SplineKnots,
+    neigh_velocity,
+    T_prev: Pose,
+    T_keyframe: Pose,
+    scalars,       # [C, 5] packed per-frame scalars
+    cur_imgs,      # [C, H, W]
+    kf_imgs,
+    kf_grads,
+    kf_kp_xy,
+    kf_kp_z,
+    kf_kp_mask,
+    pattern,
+    K0,
+    *,
+    num_levels: int,
+    num_virtual_poses,
+    degree: int,
+    lm_opts,
+):
+    """Track a CHUNK of C consecutive frames in one device dispatch.
+
+    ``lax.scan`` carries (knots, velocity, previous pose) across frames so the
+    whole chunk is one XLA program: on remote-attached TPUs the per-dispatch
+    link latency (which dominates the single-frame path — device time is
+    ~25% of wall time) is amortized over C frames. The keyframe is FIXED for
+    the chunk; the host inspects the returned per-frame flow/blur statistics
+    afterwards and re-submits the tail of the chunk if a keyframe decision
+    fired mid-chunk (speculation, exactly like the single-frame deferred
+    decision — keyframes are sparse so redos are rare)."""
+
+    def step(carry, inp):
+        knots, neigh_velocity, T_prev = carry
+        sc, img = inp
+        knots, pose_cap, neigh_velocity, stats, summaries = _frame_step(
+            knots, neigh_velocity, T_prev, sc, img,
+            kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, pattern, K0,
+            num_levels, num_virtual_poses, degree, lm_opts,
+        )
+        result = pose_compose(T_keyframe, pose_cap)
+        iters = jnp.stack([s.num_iterations for _, s in summaries])
+        # per-frame post-state (knots, velocity) lets the host restore the
+        # tracker to ANY frame of the chunk — needed when a keyframe decision
+        # fires mid-chunk and the tail must be re-tracked
+        return (knots, neigh_velocity, pose_cap), (
+            pose_cap, result, stats, iters, knots, neigh_velocity
+        )
+
+    _, ys = lax.scan(step, (knots, neigh_velocity, T_prev), (scalars, cur_imgs))
+    pose_caps, results, stats, iters, knots_seq, vel_seq = ys
+    # everything the host reads per chunk, packed into ONE [C, 9+L] array so
+    # the chunk costs exactly one device->host transfer: per-frame
+    # (flow, blur-kernel, result t[3], result q[4], LM iterations per level)
+    host_pack = jnp.concatenate(
+        [stats, results.t, results.q, iters.astype(stats.dtype)], axis=1
+    )
+    return host_pack, pose_caps, knots_seq, vel_seq
 
 
 class BlurAwareTracker:
@@ -384,6 +476,133 @@ class BlurAwareTracker:
                          depth_map)
         self.prev_timestamp = cap_time
         return result
+
+    def track_frames(
+        self,
+        blur_imgs,
+        cap_times,
+        exp_times,
+        sharp_imgs=None,
+        depth_maps=None,
+        chunk: int = 8,
+    ) -> List[Pose]:
+        """Track a batch of frames with chunked device dispatches.
+
+        Same semantics as calling :meth:`track_frame` per frame, but C
+        consecutive frames run as ONE device dispatch (``lax.scan`` over the
+        fused per-frame step), so the per-dispatch host/link latency —
+        which dominates single-frame tracking on remote-attached TPUs —
+        amortizes over the chunk. Keyframe decisions are speculative: a chunk
+        runs against a fixed keyframe; if frame j's statistics fire the
+        keyframe criterion, frames j+1.. are re-tracked against the new
+        keyframe (the redo reproduces exactly the synchronous result;
+        keyframes are sparse, so the steady state is one dispatch + one
+        scalar fetch per C frames).
+
+        blur_imgs: [T, H, W] array or list; cap_times/exp_times: [T] floats;
+        sharp_imgs/depth_maps: optional per-frame keyframe candidate data
+        (list, entries may be None). Returns the T global poses.
+        """
+        cfg = self.cfg
+        n = len(cap_times)
+        get_sharp = (lambda i: sharp_imgs[i]) if sharp_imgs is not None else (
+            lambda i: None)
+        get_depth = (lambda i: depth_maps[i]) if depth_maps is not None else (
+            lambda i: None)
+
+        results: List[Pose] = []
+        i = 0
+        if self.is_first_frame:
+            results.append(self.track_frame(
+                get_sharp(0), blur_imgs[0], float(cap_times[0]),
+                float(exp_times[0]), get_depth(0)))
+            i = 1
+        # resolve any deferred single-frame keyframe decision first
+        self.flush()
+
+        while i < n:
+            c = min(chunk, n - i)
+            # pad the tail to the compiled chunk size by repeating the last
+            # frame; padded outputs are discarded and state restores from the
+            # per-frame arrays, so padding only costs device time on the
+            # final chunk
+            idx = list(range(i, i + c)) + [i + c - 1] * (chunk - c)
+            scal = np.empty((chunk, 5), np.float64)
+            prev_t = self.prev_timestamp
+            for r, j in enumerate(idx):
+                cap, exp = float(cap_times[j]), float(exp_times[j])
+                dt = cap - prev_t
+                scal[r] = (dt, cap, exp, cap - 0.5 * exp,
+                           max(dt, exp, 1e-3))
+                prev_t = cap
+            imgs = jnp.stack(
+                [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
+            )
+            out = self._submit_chunk(imgs, jnp.asarray(scal, self.dtype))
+            host_pack, pose_caps, knots_seq, vel_seq = out
+            pack = np.asarray(host_pack)  # ONE device->host fetch per chunk
+            stats_np = pack[:, :2]
+
+            # first frame whose statistics fire the keyframe criterion
+            fired = -1
+            for r in range(c):
+                flow, kern = float(stats_np[r, 0]), float(stats_np[r, 1])
+                is_kf = (
+                    flow > cfg.keyframe_max_flow_mag0
+                    and kern < cfg.keyframe_max_blur_kernel_mag
+                ) or flow > cfg.keyframe_max_flow_mag1
+                j = i + r
+                if is_kf and get_sharp(j) is not None and get_depth(j) is not None:
+                    fired = r
+                    break
+
+            commit = c if fired < 0 else fired + 1
+            for r in range(commit):
+                results.append(Pose(t=pack[r, 2:5], q=pack[r, 5:9]))
+
+            last = commit - 1
+            self.knots = jax.tree.map(lambda x: x[last], knots_seq)
+            self.neigh_velocity = vel_seq[last]
+            pose_cap_last = jax.tree.map(lambda x: x[last], pose_caps)
+            self.T_prev_b2w = pose_cap_last
+            self.prev_timestamp = float(cap_times[i + last])
+            self.avg_kernel_length = float(stats_np[last, 1])
+
+            if fired >= 0:
+                j = i + fired
+                self.process_keyframe(get_sharp(j), get_depth(j))
+                self.knots, self.T_keyframe = _keyframe_anchor_jit(
+                    self.knots, self.T_keyframe, pose_cap_last,
+                    jnp.asarray(float(cap_times[j]), self.dtype),
+                    cfg.spline_degree,
+                )
+                self.T_prev_b2w = pose_identity(self.dtype)
+            i += commit
+        return results
+
+    def _submit_chunk(self, imgs, scalars):
+        """Enqueue the fused chunk step against current state (pure)."""
+        cfg = self.cfg
+        kls = self.keyframe_levels
+        return _track_chunk_fused(
+            self.knots,
+            self.neigh_velocity,
+            self.T_prev_b2w,
+            self.T_keyframe,
+            scalars,
+            imgs,
+            tuple(l["img"] for l in kls),
+            tuple(l["grad"] for l in kls),
+            tuple(l["kp_xy"] for l in kls),
+            tuple(l["kp_z"] for l in kls),
+            tuple(l["kp_mask"] for l in kls),
+            self.pattern,
+            self.K0,
+            num_levels=cfg.num_pyramid_levels,
+            num_virtual_poses=cfg.num_virtual_poses,
+            degree=cfg.spline_degree,
+            lm_opts=cfg.lm_options(),
+        )
 
     def _submit(self, blur_dev, cap_time: float, exp_time: float,
                 dt_frame: float):
