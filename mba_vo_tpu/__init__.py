@@ -18,8 +18,8 @@ models/   Camera models (pinhole, unified, radial-tangential distortion) and
           spline trajectory models with IMU derivatives
           (reference: src/core/sensors/, src/utils/SplineTrajectory.h).
 ops/      Image ops (pyramid, gradients, custom-JVP bilinear sampling),
-          frontoparallel warping, the blur-aware residual/Hessian pipeline,
-          and Pallas TPU kernels for the hot path
+          frontoparallel warping, and the blur-aware residual/Hessian
+          pipeline with a gather-free MXU windowed-sampling backend
           (reference: src/ba_tracker/cuda kernels, src/core/image_proc/).
 solver/   Trust-region Levenberg-Marquardt as a lax.while_loop, normal
           equation solvers (reference: src/ba_tracker/ LM machinery).

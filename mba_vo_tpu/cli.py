@@ -32,6 +32,10 @@ def _build_arg_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("track", help="run the blur-aware tracker")
     t.add_argument("--images", required=True, help="image folder")
+    t.add_argument("--sharp-images",
+                   help="folder of SHARP keyframe images matching --images "
+                        "order; without it the blurred frame is reused as "
+                        "its own keyframe (degrades the blur model)")
     t.add_argument("--depths", help="depth-map folder (keyframes)")
     t.add_argument("--dataset-type", default="eth3d",
                    choices=["unreal", "eth3d", "npy"])
@@ -98,6 +102,33 @@ def cmd_track(args) -> int:
         if args.depths
         else []
     )
+    if depth_paths and len(depth_paths) < len(image_paths):
+        # a silent reuse of the last depth map would corrupt every keyframe
+        # after the mismatch point — fail loudly instead
+        print(
+            f"depth/image count mismatch: {len(depth_paths)} depth maps for "
+            f"{len(image_paths)} images",
+            file=sys.stderr,
+        )
+        return 2
+
+    sharp_paths = (
+        ds.list_image_folder(args.sharp_images) if args.sharp_images else []
+    )
+    if sharp_paths and len(sharp_paths) < len(image_paths):
+        print(
+            f"sharp/blurred count mismatch: {len(sharp_paths)} sharp images "
+            f"for {len(image_paths)} blurred frames",
+            file=sys.stderr,
+        )
+        return 2
+    if not sharp_paths:
+        print(
+            "warning: no --sharp-images given; keyframes will reuse the "
+            "tracked (blurred) frame, which violates the sharp-keyframe "
+            "model when blur is strong",
+            file=sys.stderr,
+        )
 
     # timestamps
     times = {}
@@ -128,12 +159,20 @@ def cmd_track(args) -> int:
     def load_depth(i):
         if not depth_paths:
             return None
-        path = depth_paths[min(i, len(depth_paths) - 1)]
+        path = depth_paths[i]
         if args.dataset_type == "unreal":
             return ds.load_depth(path, "unreal", K, H, W)
         if args.dataset_type == "eth3d":
             return ds.load_depth(path, "eth3d")
         return np.load(path)
+
+    def load_sharp(i, blurred):
+        """Keyframe-candidate sharp image: --sharp-images when given, else
+        the tracked frame itself (reference dataset contract:
+        blur_aware_direct_tracker.cpp:373-386 expects a sharp keyframe)."""
+        if sharp_paths:
+            return ds.load_gray_image(sharp_paths[i])
+        return blurred
 
     def frame_meta(i):
         name = os.path.basename(image_paths[i])
@@ -141,17 +180,26 @@ def cmd_track(args) -> int:
 
     out_times, out_t, out_q = [], [], []
 
-    def record(i, cap, pose):
+    def record(i, cap, pose, kernel=None):
         out_times.append(cap)
         out_t.append(np.asarray(pose.t))
         out_q.append(np.asarray(pose.q))
+        if kernel is None:
+            # single-frame path: the decision statistics resolve one frame
+            # late (deferred keyframe pipeline), so this reads the PREVIOUS
+            # frame's kernel length
+            kernel = tracker.avg_kernel_length
         print(
             f"frame {i:4d} t={cap:.3f} pos="
             + np.array2string(np.asarray(pose.t), precision=4)
-            + f" kernel={tracker.avg_kernel_length:.2f}px"
+            + f" kernel={kernel:.2f}px"
         )
 
     def checkpoint(next_frame):
+        # resolve any deferred keyframe decision first: _pending is not part
+        # of the serialized pytree, so an unflushed decision would be dropped
+        # by a resume and the trajectory would diverge
+        tracker.flush()
         os.makedirs(args.checkpoint_dir, exist_ok=True)
         save_tracker_state(tracker, os.path.join(args.checkpoint_dir, "state"))
         with open(os.path.join(args.checkpoint_dir, "meta.json"), "w") as f:
@@ -167,11 +215,7 @@ def cmd_track(args) -> int:
             cap, exp = frame_meta(i)
             img = ds.load_gray_image(image_paths[i])
             depth = load_depth(i)
-            # the first frame (and keyframe candidates) use the current image
-            # as the sharp frame — the reference's dataset contract provides
-            # a sharp image per keyframe; folder datasets reuse the tracked
-            # frame
-            pose = tracker.track_frame(img, img, cap, exp, depth)
+            pose = tracker.track_frame(load_sharp(i, img), img, cap, exp, depth)
             record(i, cap, pose)
             i += 1
         else:
@@ -180,12 +224,15 @@ def cmd_track(args) -> int:
             metas = [frame_meta(j) for j in idx]
             imgs = [ds.load_gray_image(image_paths[j]) for j in idx]
             depths = [load_depth(j) for j in idx]
+            sharps = [load_sharp(j, imgs[r]) for r, j in enumerate(idx)]
             poses = tracker.track_frames(
                 imgs, [m[0] for m in metas], [m[1] for m in metas],
-                sharp_imgs=imgs, depth_maps=depths, chunk=chunk,
+                sharp_imgs=sharps, depth_maps=depths, chunk=chunk,
             )
+            stats = tracker.last_track_stats
             for r, pose in enumerate(poses):
-                record(idx[r], metas[r][0], pose)
+                kern = float(stats[r, 1]) if stats is not None else None
+                record(idx[r], metas[r][0], pose, kernel=kern)
             i += c
         since_ckpt += c
         if args.checkpoint_every and since_ckpt >= args.checkpoint_every:

@@ -197,11 +197,6 @@ def se3_log(t: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rho, omega], axis=-1)
 
 
-def quat_slerp_coeffs(u: jnp.ndarray) -> jnp.ndarray:
-    """Helper exposing interpolation weight; kept for API symmetry."""
-    return u
-
-
 def quat_boxplus(q: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:
     """Right-multiplicative manifold retraction q ⊞ omega = q * exp(omega).
 
@@ -209,8 +204,3 @@ def quat_boxplus(q: jnp.ndarray, omega: jnp.ndarray) -> jnp.ndarray:
     (Spline.h:317-330 Plus_R, SplineFunctor.h local-param Jacobians).
     """
     return quat_multiply(q, quat_exp(omega))
-
-
-def block_diag_apply(fn, x):
-    """Tiny utility used by tests; applies fn over the last axis blocks."""
-    return fn(x)

@@ -234,6 +234,63 @@ def spline_transform_by_right(knots: SplineKnots, d: Pose) -> SplineKnots:
     )
 
 
+def insert_control_knot(knots: SplineKnots, t_new: jnp.ndarray,
+                        q_new: jnp.ndarray) -> SplineKnots:
+    """Append one control knot at the window end.
+
+    Reference Spline.h:146-151 (InsertControlKnot). Growing the knot count
+    changes the static shape, so this is a host-level window-management
+    event (keyframe boundary / window growth), not a jitted hot-loop op —
+    the fixed-shape steady-state advance is :func:`slide_control_window`.
+    """
+    t_new = jnp.asarray(t_new, knots.t.dtype)
+    q_new = jnp.asarray(q_new, knots.q.dtype)
+    return knots._replace(
+        t=jnp.concatenate([knots.t, t_new[None]], axis=0),
+        q=jnp.concatenate([knots.q, q_new[None]], axis=0),
+    )
+
+
+def pop_front_control_knot(knots: SplineKnots) -> SplineKnots:
+    """Drop the first control knot and advance the spline start time by one
+    sampling interval (reference Spline.h:153-158 PopFrontControlKnot)."""
+    return knots._replace(
+        t=knots.t[1:], q=knots.q[1:], t0=knots.t0 + knots.dt
+    )
+
+
+def slide_control_window(knots: SplineKnots, t_new: jnp.ndarray,
+                         q_new: jnp.ndarray) -> SplineKnots:
+    """Pop-front + append at constant knot count, one jittable op.
+
+    The TPU steady-state equivalent of the reference's
+    PopFrontControlKnot + InsertControlKnot pair (Spline.h:146-158) when the
+    window size stays fixed: shapes don't change, so it composes with
+    jit / lax.scan in the multi-frame tracking loop.
+    """
+    return knots._replace(
+        t=jnp.concatenate([knots.t[1:], jnp.asarray(t_new, knots.t.dtype)[None]], axis=0),
+        q=jnp.concatenate([knots.q[1:], jnp.asarray(q_new, knots.q.dtype)[None]], axis=0),
+        t0=knots.t0 + knots.dt,
+    )
+
+
+def extrapolate_knot(knots: SplineKnots) -> Pose:
+    """Constant-velocity prediction of the knot one interval past the window
+    end: the relative transform between the last two knots, re-applied on the
+    right of the last knot (the initialization the reference builds from its
+    neighbor-frame velocity, blur_aware_direct_tracker.cpp:120-145, expressed
+    at knot granularity)."""
+    t_a, q_a = knots.t[-2], knots.q[-2]
+    t_b, q_b = knots.t[-1], knots.q[-1]
+    dq = quat_multiply(quat_conjugate(q_a), q_b)
+    dt_local = quat_rotate(quat_conjugate(q_a), t_b - t_a)
+    return Pose(
+        t=t_b + quat_rotate(q_b, dt_local),
+        q=quat_multiply(q_b, dq),
+    )
+
+
 def virtual_pose_times(cap_time, exp_time, num_vir: int):
     """Exposure-window sample times for one frame, shape [num_vir].
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..core.lie import quat_rotate
-from .image import sample_lk, bilinear_sample
+from .image import sample_lk
 
 
 def unit_ray(xy: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
@@ -79,16 +79,3 @@ def warp_and_sample(
     """
     ref_xy = frontoparallel_warp(pose_t, pose_q, plane_depth, K, xy)
     return sample_lk(img_ref, grad_ref, ref_xy)
-
-
-def warp_and_sample_plain(
-    img_ref: jnp.ndarray,
-    pose_t: jnp.ndarray,
-    pose_q: jnp.ndarray,
-    plane_depth: jnp.ndarray,
-    K: jnp.ndarray,
-    xy: jnp.ndarray,
-) -> jnp.ndarray:
-    """Cost-only variant without the gradient image (no Jacobian chain)."""
-    ref_xy = frontoparallel_warp(pose_t, pose_q, plane_depth, K, xy)
-    return bilinear_sample(img_ref, ref_xy)

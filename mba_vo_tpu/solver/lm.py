@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..core.lie import quat_conjugate, quat_log, quat_multiply
 from ..core.spline import SplineKnots, spline_retract_flat
 from ..ops.residual import (
     Evaluation,
@@ -68,6 +69,17 @@ class LMOptions:
     solver: str = "cholesky"  # "cholesky" | "lu" | "svd"
     sampling: str = "direct"  # "direct" | "windowed" (see ops.residual)
     window: int = 32
+    # Knot smoothness prior weight (0 = off). A single blurred frame only
+    # observes the exposure-AVERAGE of the trajectory: for a cubic (deg-4)
+    # segment that leaves near-gauge knot directions (endpoint knots carry
+    # 1/6 basis weight), and LM drifts along the flat valley. The prior adds
+    # 0.5*w*||second difference of knot translations / of relative rotation
+    # tangents||^2 — a constant-velocity motion prior that pins the valley
+    # without measurably biasing the constrained directions (its cost at
+    # physical-motion scales is orders below the photometric floor). The
+    # reference has no equivalent because it never ran deg-4 in production
+    # (compute_hessian_gradients_cost_fast.cu:465-466 hard-codes deg 2).
+    knot_prior_weight: float = 0.0
 
 
 class LMSummary(NamedTuple):
@@ -178,6 +190,33 @@ def detect_outliers(
     return inlier_mask, allreduce(outlier.sum())
 
 
+def _knot_prior_residual(knots: SplineKnots) -> jnp.ndarray:
+    """[(K-2)*6] constant-velocity violation: second differences of knot
+    translations and of consecutive relative-rotation tangents."""
+    d2t = knots.t[2:] - 2.0 * knots.t[1:-1] + knots.t[:-2]          # [K-2, 3]
+    w_rel = quat_log(quat_multiply(quat_conjugate(knots.q[:-1]), knots.q[1:]))
+    d2w = w_rel[1:] - w_rel[:-1]                                     # [K-2, 3]
+    return jnp.concatenate([d2t.reshape(-1), d2w.reshape(-1)])
+
+
+def _prior_terms(knots: SplineKnots, weight: float):
+    """(cost, g [6K], H [6K,6K]) of the Gauss-Newton-linearized knot prior
+    at the current knots (zero retraction)."""
+    Kk = knots.num_knots
+    dtype = knots.t.dtype
+    zero = jnp.zeros(6 * Kk, dtype)
+
+    def prior_of(delta):
+        return _knot_prior_residual(spline_retract_flat(knots, delta))
+
+    p0, lin = jax.linearize(prior_of, zero)
+    Jp = jax.vmap(lin)(jnp.eye(6 * Kk, dtype=dtype)).T   # [P, 6K]
+    cost = 0.5 * weight * jnp.sum(p0 * p0)
+    g = weight * (Jp.T @ p0)
+    H = weight * (Jp.T @ Jp)
+    return cost, g, H
+
+
 class _LMState(NamedTuple):
     knots: SplineKnots
     H: jnp.ndarray
@@ -213,18 +252,31 @@ def optimize_level(
     N = data.kp_mask.shape[0]
     mask0 = jnp.ones((N,), dtype=dtype)
 
+    # knot smoothness prior (see LMOptions.knot_prior_weight); statically
+    # disabled for <=2 knots where the second difference is empty
+    use_prior = opts.knot_prior_weight > 0.0 and knots.num_knots > 2
+
+    def prior(k: SplineKnots):
+        if use_prior:
+            return _prior_terms(k, opts.knot_prior_weight)
+        z = jnp.zeros((), dtype)
+        return z, jnp.zeros(6 * knots.num_knots, dtype), jnp.zeros(
+            (6 * knots.num_knots, 6 * knots.num_knots), dtype
+        )
+
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
                    axis_name=axis_name, sampling=opts.sampling,
                    window=opts.window)
+    cp0, gp0, Hp0 = prior(knots)
 
     state0 = _LMState(
         knots=knots,
-        H=ev0.hessian,
-        g=ev0.gradient,
-        cost=ev0.cost,
+        H=ev0.hessian + Hp0,
+        g=ev0.gradient + gp0,
+        cost=ev0.cost + cp0,
         radius=jnp.asarray(opts.initial_radius, dtype),
         decrease_factor=jnp.asarray(2.0, dtype),
-        ev=_evaluator_reset(ev0.cost),
+        ev=_evaluator_reset(ev0.cost + cp0),
         outlier_mask=mask0,
         num_iterations=jnp.int32(0),
         abs_cost_decrease=jnp.asarray(1e10, dtype),
@@ -265,15 +317,21 @@ def optimize_level(
             # its full GPU pipeline for each (SURVEY.md §3.2); on TPU the
             # Jacobian is a handful of batched tangent passes, so computing
             # it speculatively costs less than a second pipeline pass.
+            # Trade-off: a REJECTED step pays for a Jacobian it discards —
+            # worth it because accepted steps dominate in practice; if a
+            # profile ever shows a rejection-heavy regime (tiny radius, bad
+            # conditioning), gate the Jacobian on a cost-only probe here.
             r, J, _valid = compute_rjv(
                 cand, data, num_vir, degree, True,
                 sampling=opts.sampling, window=opts.window,
             )
             ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
                             axis_name=axis_name)
-            quality = _step_quality(s.ev, ev_c.cost, model_cost_change)
-            success = (quality > opts.min_step_quality) & (ev_c.cost < s.cost)
-            acd = s.cost - ev_c.cost
+            cp_c, gp_c, Hp_c = prior(cand)
+            cand_cost = ev_c.cost + cp_c
+            quality = _step_quality(s.ev, cand_cost, model_cost_change)
+            success = (quality > opts.min_step_quality) & (cand_cost < s.cost)
+            acd = s.cost - cand_cost
 
             def accept(s: _LMState):
                 # detectOutliers from candidate patch costs, then re-assembly
@@ -289,13 +347,13 @@ def optimize_level(
                 )
                 return s._replace(
                     knots=cand,
-                    H=ev_f.hessian,
-                    g=ev_f.gradient,
-                    cost=ev_f.cost,
+                    H=ev_f.hessian + Hp_c,
+                    g=ev_f.gradient + gp_c,
+                    cost=ev_f.cost + cp_c,
                     radius=clip_radius(new_radius),
                     decrease_factor=jnp.asarray(2.0, dtype),
                     ev=_step_accepted(
-                        s.ev, ev_f.cost, model_cost_change,
+                        s.ev, ev_f.cost + cp_c, model_cost_change,
                         opts.max_consecutive_nonmonotonic_steps,
                     ),
                     outlier_mask=new_mask,

@@ -69,6 +69,10 @@ class TrackerConfig:
     # regardless of blur length)
     sampling: str = "windowed"
     sampling_window: int = 32
+    # knot smoothness prior (solver.lm.LMOptions.knot_prior_weight);
+    # None = auto: off for deg 2 (fully constrained), on for deg 4 where a
+    # single frame's exposure-average leaves near-gauge cubic directions
+    knot_prior_weight: Optional[float] = None
     # keyframe criteria (.h:57-61)
     keyframe_max_flow_mag0: float = 15.0
     keyframe_max_flow_mag1: float = 30.0
@@ -83,6 +87,9 @@ class TrackerConfig:
     dtype: str = "float32"
 
     def lm_options(self) -> LMOptions:
+        w = self.knot_prior_weight
+        if w is None:
+            w = 0.0 if self.spline_degree <= 2 else 10.0
         return LMOptions(
             max_iterations=self.max_num_iterations,
             min_step_quality=self.min_step_quality,
@@ -91,11 +98,8 @@ class TrackerConfig:
             max_chi_square_error=self.max_chi_square_error,
             sampling=self.sampling,
             window=self.sampling_window,
+            knot_prior_weight=w,
         )
-
-
-class KeyframeLevel(Dict):
-    pass
 
 
 @jax.jit
@@ -354,10 +358,20 @@ def _track_chunk_fused(
 
 
 class BlurAwareTracker:
-    """Frame-to-keyframe blur-aware tracking with a global keyframe chain."""
+    """Frame-to-keyframe blur-aware tracking with a global keyframe chain.
 
-    def __init__(self, config: TrackerConfig, K: np.ndarray, im_hw: Tuple[int, int]):
+    ``backend`` (optional): a ``backend.vo_backend.VOBackend``. Every
+    installed keyframe is handed to it (sharp image + depth + chain pose);
+    the backend triangulates/lifts landmarks, runs sliding-window BA (and
+    optionally pose-graph relaxation), and its refined keyframe pose replaces
+    the odometry-only ``T_keyframe`` — closing the loop the reference only
+    scaffolds (Point3dStatic.h:19-33, SURVEY.md §7 phase 5).
+    """
+
+    def __init__(self, config: TrackerConfig, K: np.ndarray, im_hw: Tuple[int, int],
+                 backend=None):
         self.cfg = config
+        self.backend = backend
         self.dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
         self.K0 = jnp.asarray(K, self.dtype)
         self.im_hw = im_hw
@@ -370,8 +384,15 @@ class BlurAwareTracker:
         self.T_prev_b2w = pose_identity(self.dtype)
         self.T_keyframe = pose_identity(self.dtype)
         self.neigh_velocity = jnp.zeros(6, self.dtype)
+        # NOTE: updated when a frame's deferred decision resolves (flush), so
+        # after single-frame track_frame it lags ONE frame behind; the chunked
+        # path updates it per committed chunk. Use last_track_stats for exact
+        # per-frame values.
         self.avg_kernel_length = 1e3
         self.last_summaries: list = []
+        # per-frame (flow, blur-kernel) statistics of the frames committed by
+        # the most recent track_frames call, aligned with its returned poses
+        self.last_track_stats: Optional[np.ndarray] = None
         # deferred keyframe decision: (stats_dev, pose_cap, cap_time,
         # sharp_img, depth_map). The decision scalars are fetched at the
         # START of the next track_frame so the device->host link round trip
@@ -443,9 +464,17 @@ class BlurAwareTracker:
             self.is_first_frame = False
             self.process_keyframe(sharp_img, depth_map)
             self.prev_timestamp = cap_time
+            # degree knots = exactly one valid spline segment spanning the
+            # exposure window: deg-2 keeps the reference's 2-knot bootstrap
+            # (blur_aware_direct_tracker.cpp:99-106); deg-4 (cubic) needs 4
             self.knots = identity_knots(
-                2, t0=cap_time, dt=max(exp_time, 1e-3), dtype=self.dtype
+                max(2, cfg.spline_degree), t0=cap_time,
+                dt=max(exp_time, 1e-3), dtype=self.dtype,
             )
+            if self.backend is not None:
+                self.backend.on_keyframe(
+                    sharp_img, depth_map, self.T_keyframe, cap_time
+                )
             return self.T_keyframe
 
         # Speculative pipelining: submit this frame against the CURRENT
@@ -511,11 +540,15 @@ class BlurAwareTracker:
             lambda i: None)
 
         results: List[Pose] = []
+        committed_stats: List[np.ndarray] = []
         i = 0
         if self.is_first_frame:
             results.append(self.track_frame(
                 get_sharp(0), blur_imgs[0], float(cap_times[0]),
                 float(exp_times[0]), get_depth(0)))
+            # keep last_track_stats aligned with the returned poses: the
+            # bootstrap frame has no tracked statistics
+            committed_stats.append(np.array([0.0, 0.0]))
             i = 1
         # resolve any deferred single-frame keyframe decision first
         self.flush()
@@ -559,8 +592,15 @@ class BlurAwareTracker:
             commit = c if fired < 0 else fired + 1
             for r in range(commit):
                 results.append(Pose(t=pack[r, 2:5], q=pack[r, 5:9]))
+                committed_stats.append(stats_np[r])
 
             last = commit - 1
+            # per-level LM iteration counts of the last committed frame
+            # (coarse->fine order matches the single-frame summaries)
+            n_lv = cfg.num_pyramid_levels
+            self.last_summaries = [
+                (n_lv - 1 - k, int(pack[last, 9 + k])) for k in range(n_lv)
+            ]
             self.knots = jax.tree.map(lambda x: x[last], knots_seq)
             self.neigh_velocity = vel_seq[last]
             pose_cap_last = jax.tree.map(lambda x: x[last], pose_caps)
@@ -577,7 +617,13 @@ class BlurAwareTracker:
                     cfg.spline_degree,
                 )
                 self.T_prev_b2w = pose_identity(self.dtype)
+                self._backend_keyframe(
+                    get_sharp(j), get_depth(j), float(cap_times[j])
+                )
             i += commit
+        self.last_track_stats = (
+            np.stack(committed_stats) if committed_stats else None
+        )
         return results
 
     def _submit_chunk(self, imgs, scalars):
@@ -668,30 +714,21 @@ class BlurAwareTracker:
                 jnp.asarray(cap_time, self.dtype), cfg.spline_degree,
             )
             self.T_prev_b2w = pose_identity(self.dtype)
+            self._backend_keyframe(sharp_img, depth_map, cap_time)
             return True
         return False
 
-    # -------------------------------------------------------------- helpers
-
-    def _level_data(
-        self, lv: int, blur_img: np.ndarray, cap_time: float, exp_time: float
-    ) -> TrackingLevelData:
-        kf = self.keyframe_levels[lv]
-        cur0 = jnp.asarray(blur_img, self.dtype)
-        cur = cur0
-        for _ in range(lv):
-            from ..ops.image import downsample2x
-
-            cur = downsample2x(cur)
-        return TrackingLevelData(
-            img_ref=kf["img"],
-            grad_ref=kf["grad"],
-            cur_imgs=cur[None],
-            cap_times=jnp.asarray([cap_time], self.dtype),
-            exp_times=jnp.asarray([exp_time], self.dtype),
-            kp_xy=kf["kp_xy"],
-            kp_z=kf["kp_z"],
-            kp_mask=kf["kp_mask"],
-            pattern=self.pattern,
-            K=self.K0 / (2.0 ** lv),
+    def _backend_keyframe(self, sharp_img, depth_map, cap_time):
+        """Hand the freshly installed keyframe to the BA/pose-graph backend;
+        adopt its refined pose as the new chain anchor."""
+        if self.backend is None:
+            return
+        refined = self.backend.on_keyframe(
+            sharp_img, depth_map, self.T_keyframe, cap_time
         )
+        if refined is not None:
+            self.T_keyframe = Pose(
+                t=jnp.asarray(refined.t, self.dtype),
+                q=jnp.asarray(refined.q, self.dtype),
+            )
+

@@ -112,14 +112,6 @@ struct Prefetcher {
       std::string raw;
       const bool ok = read_file(path.c_str(), &raw);
       std::vector<float> depth;
-      if (ok) {
-        std::lock_guard<std::mutex> lk(mu);
-        auto it = items.find(path);
-        if (it != items.end() && it->second.parse_as_depth) {
-          // parse outside the lock would be better; depth maps are small
-          // enough that contention is negligible at this queue depth
-        }
-      }
       bool as_depth = false;
       {
         std::lock_guard<std::mutex> lk(mu);

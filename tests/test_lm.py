@@ -36,30 +36,43 @@ def smooth_texture(h, w, seed=0, passes=2):
     return img
 
 
-def true_knots():
-    kt = jnp.asarray([[0.0, 0.0, 0.0], [0.015, -0.01, 0.006]], dtype=jnp.float64)
+def true_knots(degree=2):
+    """A degree-knot ground-truth spline whose single segment spans the
+    exposure window (deg 2 = 2 knots, deg 4 = 4 knots)."""
+    if degree == 2:
+        kt = jnp.asarray([[0.0, 0.0, 0.0], [0.015, -0.01, 0.006]],
+                         dtype=jnp.float64)
+        omegas = [[0.0, 0.0, 0.0], [0.003, -0.008, 0.015]]
+    else:
+        kt = jnp.asarray(
+            [[-0.01, 0.008, -0.004], [0.0, 0.0, 0.0],
+             [0.015, -0.01, 0.006], [0.028, -0.022, 0.01]],
+            dtype=jnp.float64,
+        )
+        omegas = [[-0.002, 0.005, -0.01], [0.0, 0.0, 0.0],
+                  [0.003, -0.008, 0.015], [0.007, -0.014, 0.028]]
     kq = jnp.stack(
-        [
-            jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=jnp.float64),
-            lie.quat_exp(jnp.asarray([0.003, -0.008, 0.015], dtype=jnp.float64)),
-        ]
+        [lie.quat_exp(jnp.asarray(w, dtype=jnp.float64)) for w in omegas]
     )
     return make_knots(kt, kq, CAP - 0.5 * EXP, EXP)
 
 
-def make_data(knots, n_kp=40, seed=2):
+def make_data(knots, n_kp=40, seed=2, degree=DEGREE, caps=(CAP,)):
     img_ref = jnp.asarray(smooth_texture(H, W, seed=seed))
-    blurred = synthesize_blurred_image(
-        img_ref, knots, DEGREE, CAP, EXP, NUM_VIR, DEPTH, KMAT
-    )
+    blurred = jnp.stack([
+        synthesize_blurred_image(
+            img_ref, knots, degree, cap, EXP, NUM_VIR, DEPTH, KMAT
+        )
+        for cap in caps
+    ])
     rng = np.random.default_rng(seed + 10)
     kp = rng.uniform([10, 10], [W - 11, H - 11], (n_kp, 2))
     return res.TrackingLevelData(
         img_ref=img_ref,
         grad_ref=im.image_gradients(img_ref),
-        cur_imgs=blurred[None],
-        cap_times=jnp.asarray([CAP]),
-        exp_times=jnp.asarray([EXP]),
+        cur_imgs=blurred,
+        cap_times=jnp.asarray(list(caps)),
+        exp_times=jnp.full((len(caps),), EXP),
         kp_xy=jnp.asarray(kp),
         kp_z=jnp.full((n_kp,), DEPTH),
         kp_mask=jnp.ones((n_kp,)),
@@ -68,9 +81,9 @@ def make_data(knots, n_kp=40, seed=2):
     )
 
 
-def pose_error(got, want, time):
-    pg = spline_pose_at(got, time, DEGREE)
-    pw = spline_pose_at(want, time, DEGREE)
+def pose_error(got, want, time, degree=DEGREE):
+    pg = spline_pose_at(got, time, degree)
+    pw = spline_pose_at(want, time, degree)
     dt = float(jnp.linalg.norm(pg.t - pw.t))
     dq = lie.quat_multiply(lie.quat_conjugate(pg.q), pw.q)
     dr = float(jnp.linalg.norm(lie.quat_log(dq)))
@@ -96,6 +109,29 @@ class TestRecovery:
         assert dr_mid < 3e-4, f"rotation error {dr_mid}"
         assert float(summary.final_cost) < 1e-2
         assert int(summary.num_iterations) >= 2
+
+    def test_recovers_degree4_spline_multiframe(self):
+        """Cumulative-cubic (deg 4) recovery. A SINGLE blurred frame only
+        observes the exposure-average of the trajectory, which leaves a
+        cubic segment with near-gauge directions (the endpoint knots carry
+        1/6 basis weight); with TWO frames inside the segment the problem is
+        well-posed — this is the multi-frame window the reference designs
+        for (blur_aware_direct_tracker.h:43-47, <=16 frames / <=16 knots)."""
+        degree = 4
+        truth = true_knots(degree)
+        caps = (CAP - 0.015, CAP + 0.015)   # u ~ 0.12 and 0.88
+        data = make_data(truth, degree=degree, caps=caps)
+        init = identity_knots(degree, t0=float(truth.t0), dt=float(truth.dt),
+                              dtype=jnp.float64)
+        opts = lm.LMOptions(huber_a=100.0, max_chi_square_error=1e9,
+                            min_abs_cost_decrease=1e-9)
+        out, summary = lm.optimize_level(init, data, NUM_VIR, degree, opts)
+
+        for cap in caps:
+            dt_mid, dr_mid = pose_error(out, truth, cap, degree)
+            assert dt_mid < 5e-4, f"translation error {dt_mid} at {cap}"
+            assert dr_mid < 3e-4, f"rotation error {dr_mid} at {cap}"
+        assert float(summary.final_cost) < 1e-2
 
     def test_recovery_jits(self):
         truth = true_knots()

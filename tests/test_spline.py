@@ -182,3 +182,80 @@ class TestJit:
         p1 = f(knots, 0.25, degree)
         p2 = sp.spline_pose_at(knots, 0.25, degree)
         np.testing.assert_allclose(np.asarray(p1.t), np.asarray(p2.t), atol=1e-12)
+
+
+class TestKnotWindowManagement:
+    """Insert/pop-front/slide window ops (reference Spline.h:146-183)."""
+
+    def test_insert_appends(self, fixture_spline):
+        knots, (kt, kq, t0, dt) = fixture_spline
+        t_new = jnp.asarray([1.0, 2.0, 3.0])
+        q_new = lie.quat_exp(jnp.asarray([0.1, 0.0, -0.2]))
+        out = sp.insert_control_knot(knots, t_new, q_new)
+        assert out.num_knots == knots.num_knots + 1
+        np.testing.assert_allclose(np.asarray(out.t[:-1]), kt, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(out.t[-1]), t_new, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(out.q[-1]), q_new, atol=1e-15)
+        assert float(out.t0) == pytest.approx(t0)
+
+    def test_pop_front_advances_start(self, fixture_spline):
+        knots, (kt, kq, t0, dt) = fixture_spline
+        out = sp.pop_front_control_knot(knots)
+        assert out.num_knots == knots.num_knots - 1
+        np.testing.assert_allclose(np.asarray(out.t), kt[1:], atol=1e-15)
+        assert float(out.t0) == pytest.approx(t0 + dt)
+
+    def test_pop_then_insert_equals_slide(self, fixture_spline):
+        knots, _ = fixture_spline
+        t_new = jnp.asarray([0.4, -0.2, 0.9])
+        q_new = lie.quat_exp(jnp.asarray([0.0, 0.3, 0.1]))
+        a = sp.insert_control_knot(sp.pop_front_control_knot(knots), t_new, q_new)
+        b = sp.slide_control_window(knots, t_new, q_new)
+        np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), atol=1e-15)
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q), atol=1e-15)
+        assert float(a.t0) == pytest.approx(float(b.t0))
+
+    def test_slide_preserves_interpolation(self, fixture_spline, degree):
+        """Sliding the window must not change the pose at times still covered
+        by the remaining knots."""
+        knots, (kt, kq, t0, dt) = fixture_spline
+        t_new = jnp.asarray(kt[-1] + 0.01)
+        q_new = jnp.asarray(kq[-1])
+        slid = sp.slide_control_window(knots, t_new, q_new)
+        # a time well inside both windows' valid ranges
+        t_probe = t0 + 2.4 * dt if degree == 2 else t0 + 2.4 * dt
+        p_old = sp.spline_pose_at(knots, t_probe, degree)
+        p_new = sp.spline_pose_at(slid, t_probe, degree)
+        np.testing.assert_allclose(np.asarray(p_old.t), np.asarray(p_new.t),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(p_old.q), np.asarray(p_new.q),
+                                   atol=1e-12)
+
+    def test_slide_jits(self, fixture_spline):
+        knots, _ = fixture_spline
+        t_new = jnp.asarray([0.4, -0.2, 0.9])
+        q_new = lie.quat_exp(jnp.asarray([0.0, 0.3, 0.1]))
+        f = jax.jit(sp.slide_control_window)
+        a = f(knots, t_new, q_new)
+        b = sp.slide_control_window(knots, t_new, q_new)
+        np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t), atol=1e-15)
+
+    def test_extrapolate_constant_velocity(self):
+        """For a constant-velocity knot sequence the extrapolated knot must
+        continue the motion exactly."""
+        v_t = np.array([0.02, -0.01, 0.005])
+        v_w = np.array([0.01, 0.03, -0.02])
+        kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
+        for _ in range(3):
+            q_prev = jnp.asarray(kq[-1])
+            d = lie.quat_exp(jnp.asarray(v_w))
+            kt.append(kt[-1] + np.asarray(lie.quat_rotate(q_prev, jnp.asarray(v_t))))
+            kq.append(np.asarray(lie.quat_multiply(q_prev, d)))
+        knots = sp.make_knots(jnp.asarray(np.array(kt)),
+                              jnp.asarray(np.array(kq)), 0.0, 0.1)
+        pred = sp.extrapolate_knot(knots)
+        q_prev = jnp.asarray(kq[-1])
+        want_t = kt[-1] + np.asarray(lie.quat_rotate(q_prev, jnp.asarray(v_t)))
+        want_q = np.asarray(lie.quat_multiply(q_prev, lie.quat_exp(jnp.asarray(v_w))))
+        np.testing.assert_allclose(np.asarray(pred.t), want_t, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(pred.q), want_q, atol=1e-12)
