@@ -111,20 +111,27 @@ class TestRecovery:
         assert int(summary.num_iterations) >= 2
 
     def test_recovers_degree4_spline_multiframe(self):
-        """Cumulative-cubic (deg 4) recovery. A SINGLE blurred frame only
-        observes the exposure-average of the trajectory, which leaves a
-        cubic segment with near-gauge directions (the endpoint knots carry
-        1/6 basis weight); with TWO frames inside the segment the problem is
-        well-posed — this is the multi-frame window the reference designs
-        for (blur_aware_direct_tracker.h:43-47, <=16 frames / <=16 knots)."""
+        """Cumulative-cubic (deg 4) recovery over a multi-frame window
+        (the configuration the reference designs for,
+        blur_aware_direct_tracker.h:43-47, <=16 frames / <=16 knots).
+
+        Blurred frames only observe exposure-AVERAGES of the trajectory, so
+        a cubic segment keeps near-gauge knot directions even with several
+        frames in it (measured: 2 frames, no prior -> 7e-3 translation
+        error along the flat valley). The constant-velocity knot prior the
+        tracker runs in production for deg 4 (TrackerConfig.lm_options:
+        weight 10.0) pins those directions; this test uses exactly that
+        configuration so the solver-level and tracker-level deg-4 settings
+        are one and the same."""
         degree = 4
         truth = true_knots(degree)
-        caps = (CAP - 0.015, CAP + 0.015)   # u ~ 0.12 and 0.88
+        caps = (CAP - 0.015, CAP, CAP + 0.015)   # u ~ 0.12, 0.5, 0.88
         data = make_data(truth, degree=degree, caps=caps)
         init = identity_knots(degree, t0=float(truth.t0), dt=float(truth.dt),
                               dtype=jnp.float64)
         opts = lm.LMOptions(huber_a=100.0, max_chi_square_error=1e9,
-                            min_abs_cost_decrease=1e-9)
+                            min_abs_cost_decrease=1e-9,
+                            knot_prior_weight=10.0)
         out, summary = lm.optimize_level(init, data, NUM_VIR, degree, opts)
 
         for cap in caps:
