@@ -21,13 +21,13 @@ and its diagonal block replaced by identity, so its step is exactly 0).
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.lie import quat_conjugate, quat_exp, quat_multiply, quat_rotate
+from ..core.lie import quat_conjugate, quat_exp, quat_multiply, quat_rotate, se3_log
 from ..core.transform import Pose
 from .map import SlidingWindowMap
 
@@ -45,10 +45,31 @@ class BAOptions:
     landmark_damping: float = 1e-8  # keeps V invertible for unobserved slots
 
 
+class OdomPrior(NamedTuple):
+    """Relative-pose odometry priors between consecutive window poses.
+
+    The tracker's frame-to-keyframe odometry is a strong measurement of
+    consecutive keyframe relative poses; without it a sparsely-observed BA
+    window (few landmarks) is free to bend the chain arbitrarily. Residual
+    per edge e (pose e -> e+1):  r_e = log(T_meas^-1 (T_e^-1 T_{e+1})),
+    cost 0.5 * weight_e * ||r_e||^2. weight 0 disables an edge (used for
+    padding while the window fills up).
+    """
+
+    t: jnp.ndarray       # [W-1, 3] measured relative translation (in frame e)
+    q: jnp.ndarray       # [W-1, 4] measured relative rotation
+    weight: jnp.ndarray  # [W-1]
+
+
 class BAProblem(NamedTuple):
     poses: Pose                 # [W] camera-to-world
     map: SlidingWindowMap
     K: jnp.ndarray              # [4] fx fy cx cy
+    odom: Optional[OdomPrior] = None
+    # [W] 1.0 = live pose, 0.0 = padding (window still filling). Padded poses
+    # are frozen exactly like the gauge pose — without this their zero
+    # diagonal blocks make the reduced camera system singular.
+    pose_mask: Optional[jnp.ndarray] = None
 
 
 class BASummary(NamedTuple):
@@ -109,6 +130,58 @@ def _allreduce(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def _odom_residuals(poses: Pose, odom: OdomPrior) -> jnp.ndarray:
+    """[W-1, 6] relative-pose prior residuals log(T_meas^-1 (T_e^-1 T_{e+1}))."""
+    qi, qj = poses.q[:-1], poses.q[1:]
+    ti, tj = poses.t[:-1], poses.t[1:]
+    qi_inv = quat_conjugate(qi)
+    q_rel = quat_multiply(qi_inv, qj)
+    t_rel = quat_rotate(qi_inv, tj - ti)
+    qm_inv = quat_conjugate(odom.q)
+    q_err = quat_multiply(qm_inv, q_rel)
+    t_err = quat_rotate(qm_inv, t_rel - odom.t)
+    return se3_log(t_err, q_err)
+
+
+def _odom_cost(poses: Pose, odom: Optional[OdomPrior], inv_n) -> jnp.ndarray:
+    """Scalar prior cost, scaled by the same 1/n normalizer as the
+    reprojection cost so weights mean the same thing at any window fill."""
+    if odom is None:
+        return jnp.zeros((), poses.t.dtype)
+    r = _odom_residuals(poses, odom)
+    return 0.5 * jnp.sum(odom.weight[:, None] * r * r) * inv_n
+
+
+def _odom_terms(poses: Pose, odom: Optional[OdomPrior], inv_n):
+    """(cost, g [W,6], H [6W,6W]) of the Gauss-Newton-linearized prior at the
+    current poses. Pose-indexed and replicated — NOT psum-reduced in sharded
+    mode (every shard computes the identical value)."""
+    Wn = poses.t.shape[0]
+    dtype = poses.t.dtype
+    if odom is None:
+        return (
+            jnp.zeros((), dtype),
+            jnp.zeros((Wn, 6), dtype),
+            jnp.zeros((Wn * 6, Wn * 6), dtype),
+        )
+
+    def res_of(delta):
+        p = Pose(
+            t=poses.t + delta[:, :3],
+            q=quat_multiply(poses.q, quat_exp(delta[:, 3:])),
+        )
+        return _odom_residuals(p, odom)
+
+    z = jnp.zeros((Wn, 6), dtype)
+    r0 = res_of(z)
+    J = jax.jacfwd(res_of)(z).reshape((Wn - 1) * 6, Wn * 6)
+    wrow = jnp.repeat(odom.weight, 6)
+    cost = 0.5 * jnp.sum(wrow * r0.reshape(-1) ** 2) * inv_n
+    g = (J.T @ (wrow * r0.reshape(-1))).reshape(Wn, 6) * inv_n
+    H = (J.T * wrow[None, :]) @ J * inv_n
+    return cost, g, H
+
+
 def build_normal_equations(problem: BAProblem, huber_a: float, axis_name=None):
     """Blockwise GN system with robust weights. Returns
     (cost, U, V, W_blk, g_p, g_x, mask).
@@ -134,7 +207,11 @@ def build_normal_equations(problem: BAProblem, huber_a: float, axis_name=None):
     Wb = jnp.einsum("wmia,wm,wmib->wmab", Jp, wgt, Jx)
     g_p = _allreduce(jnp.einsum("wmia,wm,wmi->wa", Jp, wgt, r), axis_name)
     g_x = jnp.einsum("wmia,wm,wmi->ma", Jx, wgt, r)
-    return cost, U, V, Wb, g_p, g_x, mask
+
+    # odometry prior terms are pose-indexed -> computed replicated (identical
+    # on every shard), added AFTER the psum so they count exactly once
+    c_o, g_o, H_o = _odom_terms(problem.poses, problem.odom, 1.0 / n)
+    return cost + c_o, U, V, Wb, g_p + g_o, g_x, H_o, mask
 
 
 def evaluate_cost(problem: BAProblem, huber_a: float, axis_name=None):
@@ -144,11 +221,12 @@ def evaluate_cost(problem: BAProblem, huber_a: float, axis_name=None):
     r2 = jnp.sum(r * r, axis=-1)
     rho, _ = _huber_weight(r2, huber_a)
     n = jnp.maximum(_allreduce(mask.sum(), axis_name), 1.0)
-    return _allreduce(jnp.sum(rho * mask), axis_name) / n
+    cost = _allreduce(jnp.sum(rho * mask), axis_name) / n
+    return cost + _odom_cost(problem.poses, problem.odom, 1.0 / n)
 
 
 def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions,
-                axis_name=None):
+                axis_name=None, H_pose=None, pose_mask=None):
     """Solve the damped GN system by eliminating landmark blocks.
 
     Returns (delta_pose [W,6], delta_point [M,3]).
@@ -165,8 +243,11 @@ def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions,
     eye6 = jnp.eye(6, dtype=dtype)
     eye3 = jnp.eye(3, dtype=dtype)
 
-    # gauge fix pose 0: zero its coupling, identity diagonal
+    # gauge fix pose 0: zero its coupling, identity diagonal; padded window
+    # slots (pose_mask 0) are frozen the same way
     gauge = jnp.ones((Wn,), dtype).at[0].set(0.0)
+    if pose_mask is not None:
+        gauge = gauge * pose_mask
     U = U * gauge[:, None, None]
     Wb = Wb * gauge[:, None, None, None]
     g_p = g_p * gauge[:, None]
@@ -186,6 +267,13 @@ def schur_solve(U, V, Wb, g_p, g_x, lam: jnp.ndarray, opts: BAOptions,
     S = -S_blocks.reshape(Wn * 6, Wn * 6)
     U_full = jax.scipy.linalg.block_diag(*[U[i] for i in range(Wn)])
     S = S + U_full
+    if H_pose is not None:
+        # pose-pose coupling (odometry prior): gauge-project pose 0's
+        # rows/cols and apply the same multiplicative diagonal damping
+        gauge6 = jnp.repeat(gauge, 6)
+        He = H_pose * gauge6[:, None] * gauge6[None, :]
+        He = He + lam * jnp.diag(jnp.diag(He))
+        S = S + He
 
     rhs = (
         g_p - _allreduce(jnp.einsum("wmac,mc->wa", WVi, g_x), axis_name)
@@ -243,10 +331,11 @@ def run_bundle_adjustment(
         return (s.it < opts.max_iterations) & ~s.done
 
     def body(s: _BAState):
-        cost, U, V, Wb, g_p, g_x, _ = build_normal_equations(
+        cost, U, V, Wb, g_p, g_x, H_o, _ = build_normal_equations(
             s.problem, opts.huber_a, axis_name
         )
-        dp, dx = schur_solve(U, V, Wb, g_p, g_x, s.lam, opts, axis_name)
+        dp, dx = schur_solve(U, V, Wb, g_p, g_x, s.lam, opts, axis_name,
+                             H_pose=H_o, pose_mask=s.problem.pose_mask)
         cand = _apply_step(s.problem, dp, dx)
         cand_cost = evaluate_cost(cand, opts.huber_a, axis_name)
         ok = (cand_cost < s.cost) & jnp.all(jnp.isfinite(dp)) & jnp.all(

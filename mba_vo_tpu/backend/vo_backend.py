@@ -10,26 +10,38 @@ creates a point or runs an optimizer over them. Here the full loop exists:
   on every new keyframe (the tracker calls :meth:`VOBackend.on_keyframe`):
     1. detect sparse corners + oriented-BRIEF descriptors on the sharp
        keyframe image (tracker.sparse_features — the counterpart of
-       FeatureDetectorSparse.cpp:28-121);
+       FeatureDetectorSparse.cpp:28-121); per-feature depth is read from the
+       keyframe depth map when one is available;
     2. match them to the previous keyframe's features (MXU Hamming matching
-       + Lowe ratio + mutual check, optionally gated by predicted-position
-       radius);
+       + Lowe ratio + mutual check), gated by PREDICTED position: each prev
+       feature's 3D estimate (its landmark, else its depth-lifted point)
+       projects into the current keyframe through the odometry pose, and the
+       match must land within ``max_match_radius`` px of that prediction
+       (features with no 3D estimate fall back to a raw-pixel radius);
     3. matched features extend existing landmarks with a new observation or
-       create new ones — lifted through the keyframe depth map when one is
-       available (the dataset contract the reference's tracker relies on,
+       create new ones — lifted through the keyframe depth map (the dataset
+       contract the reference's tracker relies on,
        blur_aware_direct_tracker.cpp:373-386) or two-view DLT-triangulated
        (backend.geometry, reference EpipolarGeometry.h:28-45);
     4. the last ``window_size`` keyframes and their landmarks become a dense
-       ``BAProblem`` (backend.map.SlidingWindowMap) and one jitted
+       ``BAProblem`` — including relative-pose ODOMETRY PRIORS between
+       consecutive window keyframes, so a sparsely-observed window can never
+       bend the chain away from the tracker's odometry — and one jitted
        Schur-complement bundle adjustment refines window poses + landmarks
        (backend.ba — BASELINE.json config 4);
-    5. optionally a pose-graph relaxation propagates the window's refined
-       relative poses through the whole keyframe chain (backend.pose_graph),
-       and the corrected latest keyframe pose feeds back into the tracker's
-       global keyframe chain.
+    5. loop closure: the new keyframe's descriptors are matched against
+       older, out-of-window keyframes; enough re-observed landmarks yield a
+       PnP relative-pose edge measured in the OLD keyframe's local frame
+       (drift-independent). When at least one loop edge exists, a pose-graph
+       relaxation over [consecutive chain edges + loop edges] distributes
+       the loop correction through the chain (backend.pose_graph), landmarks
+       re-anchor to their moved host keyframes, and the corrected latest
+       pose feeds back into the tracker. Without loop edges the pose graph
+       is skipped — a chain of consecutive edges alone is exactly
+       determined and relaxing it is a no-op by construction.
 
 Host code here is bookkeeping only (landmark table, window ids); all
-optimization runs inside the jitted BA / pose-graph solvers on device.
+optimization runs inside the jitted BA / PnP / pose-graph solvers on device.
 """
 
 from __future__ import annotations
@@ -49,8 +61,13 @@ from ..tracker.sparse_features import (
     detect_sparse,
     match_descriptors,
 )
-from .ba import BAOptions, BAProblem, run_bundle_adjustment_jit
-from .geometry import projection_matrix, triangulate_points
+from .ba import (
+    BAOptions,
+    BAProblem,
+    OdomPrior,
+    run_bundle_adjustment_jit,
+)
+from .geometry import projection_matrix, solve_pnp_jit, triangulate_points
 from .map import SlidingWindowMap
 from .pose_graph import (
     PoseGraphEdge,
@@ -67,9 +84,19 @@ class BackendConfig:
     max_landmarks: static landmark-slot count of the dense BA problem.
     min_observations: landmarks need this many window observations to enter
         BA (2 = classic two-view constraint).
-    max_match_radius: predicted-reprojection gating radius in pixels for
-        descriptor matches (<=0 disables gating).
-    run_pose_graph: relax the full keyframe chain after each window BA.
+    max_match_radius: gating radius in px around the PREDICTED feature
+        position (projected 3D estimate); raw_match_radius applies to
+        features with no 3D estimate (<=0 disables that fallback gate).
+    odom_weight: isotropic information of the consecutive-keyframe
+        relative-pose priors in BA. Reprojection residuals are pixels;
+        odometry residuals are meters/radians — (fx/depth)^2 ~ 1e4 equates
+        the units, and the default sits ~100x above that because the direct
+        photometric odometry is sub-0.1px accurate while detected corners
+        carry ~0.2px noise: BA should only override odometry where
+        multi-keyframe landmark evidence accumulates (drift), not track
+        per-corner noise.
+    run_pose_graph: relax the keyframe chain when loop-closure edges exist.
+    loop_*: loop-closure detection knobs (see _detect_loop_closures).
     max_chain: pose-graph node budget (the chain is truncated to the most
         recent max_chain keyframes; older poses are final).
     """
@@ -77,44 +104,65 @@ class BackendConfig:
     window_size: int = 7
     max_landmarks: int = 512
     min_observations: int = 2
-    max_hamming: float = 80.0
-    match_ratio: float = 0.8
-    max_match_radius: float = 30.0
+    max_hamming: float = 96.0
+    match_ratio: float = 0.85
+    max_match_radius: float = 20.0
+    raw_match_radius: float = 60.0
     min_depth: float = 1e-2
     max_depth: float = 1e3
-    run_pose_graph: bool = False
+    odom_weight: float = 1e6
+    run_pose_graph: bool = True
+    loop_min_matches: int = 20
+    loop_max_pnp_cost: float = 4.0
+    loop_edge_weight: float = 5.0
+    loop_skip_recent: int = 2      # candidates older than window end - this
     max_chain: int = 64
     ba: BAOptions = BAOptions()
     pose_graph: PoseGraphOptions = PoseGraphOptions()
+    # NOTE: Shi-Tomasi responses are squared-gradient scale and strongly
+    # texture-dependent — an aggressive absolute threshold starves the map
+    # on low-contrast scenes. Keep it permissive; grid NMS + max_keypoints
+    # (top-k by response) do the real selection.
     detector: DetectorOptions = DetectorOptions(
-        score_threshold=40.0, cell_h=24, cell_w=24, max_keypoints=256
+        score_threshold=1.0, cell_h=16, cell_w=16, max_keypoints=384
     )
 
 
 class _Keyframe:
     """Host-side record of one keyframe in the chain."""
 
-    __slots__ = ("pose", "features", "cap_time", "feat_landmark", "kp_np")
+    __slots__ = ("pose", "odom_rel_prev", "features", "cap_time",
+                 "feat_landmark", "kp_np", "feat_z")
 
-    def __init__(self, pose: Pose, features: SparseFeatures, cap_time: float):
-        self.pose = pose                      # body/camera -> world
+    def __init__(self, pose: Pose, features: SparseFeatures, cap_time: float,
+                 odom_rel_prev: Optional[np.ndarray] = None,
+                 feat_z: Optional[np.ndarray] = None):
+        self.pose = pose                      # body/camera -> world (mutable)
+        # [7] (t, q) relative pose from the PREVIOUS keyframe, measured by
+        # the tracker's odometry at insertion time; immutable — pose-graph
+        # backbone + BA odometry-prior measurements read this
+        self.odom_rel_prev = odom_rel_prev
         self.features = features
         self.cap_time = cap_time
         n = features.kp_xy.shape[0]
         # landmark id per feature slot (-1 = none)
         self.feat_landmark = np.full((n,), -1, np.int64)
         self.kp_np = np.asarray(features.kp_xy)
+        # per-feature keyframe depth (NaN = unknown)
+        self.feat_z = (feat_z if feat_z is not None
+                       else np.full((n,), np.nan, np.float64))
 
 
 class _Landmark:
     """Host-side landmark record (the Point3dStatic analogue: a 3D position
     plus (keyframe, feature) observation pairs, Point3dStatic.h:19-33)."""
 
-    __slots__ = ("position", "obs")
+    __slots__ = ("position", "obs", "anchor")
 
-    def __init__(self, position: np.ndarray):
+    def __init__(self, position: np.ndarray, anchor: int):
         self.position = position              # [3] world
         self.obs: Dict[int, np.ndarray] = {}  # kf index -> [2] pixel
+        self.anchor = anchor                  # first-observing keyframe id
 
 
 def _unproject(xy: np.ndarray, z: np.ndarray, K: np.ndarray) -> np.ndarray:
@@ -136,6 +184,22 @@ def _transform_points(pose: Pose, pts_cam: np.ndarray) -> np.ndarray:
     return np.asarray(quat_rotate(q[None], jnp.asarray(pts_cam))) + t[None]
 
 
+def _world_to_cam_points(pose: Pose, pts_w: np.ndarray) -> np.ndarray:
+    """World -> camera-frame points [N, 3]."""
+    q_inv = quat_conjugate(jnp.asarray(pose.q))
+    return np.asarray(
+        quat_rotate(q_inv[None], jnp.asarray(pts_w) - np.asarray(pose.t)[None])
+    )
+
+
+def _project(pts_cam: np.ndarray, K: np.ndarray) -> np.ndarray:
+    z = np.maximum(pts_cam[:, 2], 1e-6)
+    return np.stack(
+        [pts_cam[:, 0] / z * K[0] + K[2], pts_cam[:, 1] / z * K[1] + K[3]],
+        axis=-1,
+    )
+
+
 def _world_to_cam(pose: Pose):
     """(R_w2c [3,3], t_w2c [3]) of a camera-to-world pose."""
     q_inv = quat_conjugate(jnp.asarray(pose.q))
@@ -145,8 +209,26 @@ def _world_to_cam(pose: Pose):
     return R, t
 
 
+def _rel_pose(a: Pose, b: Pose) -> np.ndarray:
+    """[7] (t, q) of T_a^-1 * T_b."""
+    qa_inv = quat_conjugate(jnp.asarray(a.q))
+    q = quat_multiply(qa_inv, jnp.asarray(b.q))
+    t = quat_rotate(qa_inv, jnp.asarray(b.t) - jnp.asarray(a.t))
+    return np.concatenate([np.asarray(t), np.asarray(q)])
+
+
+def _compose(a: Pose, rel_t, rel_q) -> Pose:
+    """T_a * T_rel."""
+    qa = jnp.asarray(a.q)
+    return Pose(
+        t=jnp.asarray(a.t) + quat_rotate(qa, jnp.asarray(rel_t)),
+        q=quat_multiply(qa, jnp.asarray(rel_q)),
+    )
+
+
 class VOBackend:
-    """Sliding-window landmark map + BA (+ pose graph) behind the tracker."""
+    """Sliding-window landmark map + BA (+ loop-closing pose graph) behind
+    the tracker."""
 
     def __init__(self, config: BackendConfig, K: np.ndarray):
         self.cfg = config
@@ -155,6 +237,7 @@ class VOBackend:
         self.landmarks: Dict[int, _Landmark] = {}
         self._next_lm = 0
         self.last_summary = None
+        self.last_num_loop_edges = 0
 
     # ------------------------------------------------------------- keyframe
 
@@ -165,13 +248,25 @@ class VOBackend:
         pose: Pose,
         cap_time: float,
     ) -> Optional[Pose]:
-        """Ingest a new keyframe; returns the BA-refined pose of THIS
-        keyframe (None when the window is too small to optimize)."""
+        """Ingest a new keyframe; returns the refined pose of THIS keyframe
+        (None when the window is too small to optimize)."""
         cfg = self.cfg
         img = jnp.asarray(sharp_img, jnp.float32)
         feats = detect_sparse(img, cfg.detector)
-        kf = _Keyframe(pose, feats, cap_time)
+        kp_np = np.asarray(feats.kp_xy)
+        feat_z = None
+        if depth_map is not None:
+            xi = np.clip(np.round(kp_np[:, 0]).astype(int), 0,
+                         depth_map.shape[1] - 1)
+            yi = np.clip(np.round(kp_np[:, 1]).astype(int), 0,
+                         depth_map.shape[0] - 1)
+            feat_z = np.asarray(depth_map)[yi, xi].astype(np.float64)
+            feat_z[(feat_z <= cfg.min_depth) | (feat_z >= cfg.max_depth)] = np.nan
+
         prev = self.keyframes[-1] if self.keyframes else None
+        odom_rel = _rel_pose(prev.pose, pose) if prev is not None else None
+        kf = _Keyframe(pose, feats, cap_time, odom_rel_prev=odom_rel,
+                       feat_z=feat_z)
         self.keyframes.append(kf)
         idx = len(self.keyframes) - 1
 
@@ -180,14 +275,39 @@ class VOBackend:
 
         self._prune_window()
 
+        refined_any = False
         if len(self._window_ids()) >= 2:
-            refined = self._run_window_ba()
-            if refined is not None and cfg.run_pose_graph:
-                self._run_pose_graph()
-            return self.keyframes[-1].pose
-        return None
+            if self._run_window_ba() is not None:
+                refined_any = True
+
+        if cfg.run_pose_graph and idx >= cfg.window_size:
+            loop_edges = self._detect_loop_closures(idx)
+            self.last_num_loop_edges = len(loop_edges)
+            if loop_edges:
+                self._run_pose_graph(loop_edges)
+                refined_any = True
+
+        return self.keyframes[-1].pose if refined_any else None
 
     # ---------------------------------------------------------- association
+
+    def _feature_points_world(self, kf: _Keyframe) -> np.ndarray:
+        """[N, 3] best 3D estimate per feature in world coordinates (NaN
+        where none exists): the landmark position when the feature has one,
+        else its depth-lifted keyframe point."""
+        n = kf.kp_np.shape[0]
+        pts = np.full((n, 3), np.nan)
+        has_z = np.isfinite(kf.feat_z)
+        if has_z.any():
+            pts[has_z] = _transform_points(
+                kf.pose, _unproject(kf.kp_np[has_z], kf.feat_z[has_z], self.K)
+            )
+        for a in range(n):
+            lid = kf.feat_landmark[a]
+            lm = self.landmarks.get(lid) if lid >= 0 else None
+            if lm is not None:   # landmark may have been pruned since
+                pts[a] = lm.position
+        return pts
 
     def _associate(self, prev: _Keyframe, prev_idx: int, cur: _Keyframe,
                    cur_idx: int, depth_map: Optional[np.ndarray]):
@@ -197,29 +317,37 @@ class VOBackend:
             prev.features, cur.features,
             max_hamming=cfg.max_hamming, ratio=cfg.match_ratio,
         )
-        match_idx = np.asarray(match_idx)
+        match_idx = np.asarray(match_idx).copy()
 
-        if cfg.max_match_radius > 0:
-            # gate on predicted position: project prev's landmark (or its
-            # depth-lifted point) into cur; fall back to raw-pixel distance
-            # (small-baseline keyframes) when no 3D estimate exists
-            d = np.linalg.norm(
-                prev.kp_np - np.where(
-                    (match_idx >= 0)[:, None],
-                    cur.kp_np[np.clip(match_idx, 0, None)],
-                    prev.kp_np,
-                ),
-                axis=-1,
+        # gate on predicted position: project each prev feature's 3D
+        # estimate (landmark, else depth-lifted point) into cur through the
+        # odometry pose; features with no 3D estimate use the loose raw
+        # radius instead
+        pts_w = self._feature_points_world(prev)
+        has_3d = np.isfinite(pts_w[:, 0])
+        pred = np.full_like(prev.kp_np, np.nan)
+        if has_3d.any():
+            pred[has_3d] = _project(
+                _world_to_cam_points(cur.pose, pts_w[has_3d]), self.K
             )
-            match_idx = np.where(d <= cfg.max_match_radius, match_idx, -1)
+        matched = match_idx >= 0
+        tgt = cur.kp_np[np.clip(match_idx, 0, None)]
+        d_pred = np.linalg.norm(tgt - pred, axis=-1)
+        d_raw = np.linalg.norm(tgt - prev.kp_np, axis=-1)
+        ok = np.where(
+            has_3d,
+            d_pred <= cfg.max_match_radius,
+            (d_raw <= cfg.raw_match_radius) | (cfg.raw_match_radius <= 0),
+        )
+        match_idx[~(matched & ok)] = -1
 
         new_a, new_b = [], []
         for a, b in enumerate(match_idx):
             if b < 0:
                 continue
             lm_id = prev.feat_landmark[a]
-            if lm_id >= 0:
-                lm = self.landmarks[lm_id]
+            lm = self.landmarks.get(lm_id) if lm_id >= 0 else None
+            if lm is not None:
                 lm.obs[cur_idx] = cur.kp_np[b]
                 cur.feat_landmark[b] = lm_id
             else:
@@ -233,39 +361,39 @@ class VOBackend:
         xy_prev = prev.kp_np[a_idx]
         xy_cur = cur.kp_np[b_idx]
 
-        if depth_map is not None:
+        z_cur = cur.feat_z[b_idx]
+        direct = np.isfinite(z_cur)
+        pts_w = np.zeros((len(a_idx), 3))
+        ok = np.zeros((len(a_idx),), bool)
+        if direct.any():
             # lift through the CURRENT keyframe's depth map (z-depth; the
             # reference's dataset contract provides exactly this on
             # keyframes, blur_aware_direct_tracker.cpp:373-386)
-            xi = np.clip(np.round(xy_cur[:, 0]).astype(int), 0,
-                         depth_map.shape[1] - 1)
-            yi = np.clip(np.round(xy_cur[:, 1]).astype(int), 0,
-                         depth_map.shape[0] - 1)
-            z = np.asarray(depth_map)[yi, xi].astype(np.float64)
-            ok = (z > self.cfg.min_depth) & (z < self.cfg.max_depth)
-            pts_w = _transform_points(
-                cur.pose, _unproject(xy_cur, z, self.K)
+            pts_w[direct] = _transform_points(
+                cur.pose, _unproject(xy_cur[direct], z_cur[direct], self.K)
             )
-        else:
+            ok[direct] = True
+        need_tri = ~direct
+        if need_tri.any():
             # two-view DLT triangulation from the pose estimates
             Kj = jnp.asarray(self.K)
             Rp, tp = _world_to_cam(prev.pose)
             Rc, tc = _world_to_cam(cur.pose)
             P1 = projection_matrix(Kj, Rp, tp)
             P2 = projection_matrix(Kj, Rc, tc)
-            pts_w = np.asarray(
-                triangulate_points(P1, P2, jnp.asarray(xy_prev),
-                                   jnp.asarray(xy_cur))
+            tri = np.asarray(
+                triangulate_points(P1, P2, jnp.asarray(xy_prev[need_tri]),
+                                   jnp.asarray(xy_cur[need_tri]))
             )
+            pts_w[need_tri] = tri
             # cheirality + depth sanity in the current view
-            Rc_np, tc_np = np.asarray(Rc), np.asarray(tc)
-            z = (pts_w @ Rc_np.T + tc_np)[:, 2]
-            ok = (z > self.cfg.min_depth) & (z < self.cfg.max_depth)
+            z = _world_to_cam_points(cur.pose, tri)[:, 2]
+            ok[need_tri] = (z > self.cfg.min_depth) & (z < self.cfg.max_depth)
 
         for k in range(len(a_idx)):
             if not ok[k]:
                 continue
-            lm = _Landmark(pts_w[k])
+            lm = _Landmark(pts_w[k], anchor=prev_idx)
             lm.obs[prev_idx] = xy_prev[k]
             lm.obs[cur_idx] = xy_cur[k]
             lm_id = self._next_lm
@@ -304,8 +432,6 @@ class VOBackend:
             if sum(1 for k in lm.obs if k in kf_of) >= cfg.min_observations
         ]
         lids = lids[:Mn]
-        if len(lids) < 3:
-            return None, None, None
 
         points = np.zeros((Mn, 3))
         point_mask = np.zeros((Mn,))
@@ -323,9 +449,24 @@ class VOBackend:
         # pad the pose axis too (window may still be filling up)
         pose_t = np.zeros((Wn, 3))
         pose_q = np.tile(np.array([0.0, 0.0, 0.0, 1.0]), (Wn, 1))
+        pose_mask = np.zeros((Wn,))
         for r, k in enumerate(win):
             pose_t[r] = np.asarray(self.keyframes[k].pose.t)
             pose_q[r] = np.asarray(self.keyframes[k].pose.q)
+            pose_mask[r] = 1.0
+
+        # consecutive relative-pose odometry priors, measured at keyframe
+        # insertion time (immutable odometry snapshots)
+        odom_t = np.zeros((Wn - 1, 3))
+        odom_q = np.tile(np.array([0.0, 0.0, 0.0, 1.0]), (Wn - 1, 1))
+        odom_w = np.zeros((Wn - 1,))
+        for r in range(len(win) - 1):
+            rel = self.keyframes[win[r + 1]].odom_rel_prev
+            if rel is None:
+                continue
+            odom_t[r] = rel[:3]
+            odom_q[r] = rel[3:]
+            odom_w[r] = cfg.odom_weight
 
         problem = BAProblem(
             poses=Pose(t=jnp.asarray(pose_t), q=jnp.asarray(pose_q)),
@@ -336,15 +477,22 @@ class VOBackend:
                 obs_mask=jnp.asarray(obs_mask),
             ),
             K=jnp.asarray(self.K),
+            odom=OdomPrior(
+                t=jnp.asarray(odom_t), q=jnp.asarray(odom_q),
+                weight=jnp.asarray(odom_w),
+            ),
+            pose_mask=jnp.asarray(pose_mask),
         )
         return problem, win, lids
 
     def _run_window_ba(self):
         problem, win, lids = self._build_problem()
-        if problem is None:
-            return None
         refined, summary = run_bundle_adjustment_jit(problem, self.cfg.ba)
         self.last_summary = summary
+        if not np.isfinite(float(summary.final_cost)) or (
+            float(summary.final_cost) > float(summary.initial_cost)
+        ):
+            return None
 
         new_t = np.asarray(refined.poses.t)
         new_q = np.asarray(refined.poses.q)
@@ -357,19 +505,86 @@ class VOBackend:
             self.landmarks[lid].position = new_pts[m]
         return refined
 
+    # --------------------------------------------------------- loop closure
+
+    def _detect_loop_closures(self, cur_idx: int):
+        """Match the newest keyframe against out-of-window older keyframes;
+        enough re-observed landmarks yield a PnP edge (i -> cur) measured in
+        keyframe i's LOCAL frame, independent of accumulated world drift."""
+        cfg = self.cfg
+        cur = self.keyframes[cur_idx]
+        win_start = self._window_ids()[0]
+        first = max(0, cur_idx - cfg.max_chain + 1)
+        candidates = range(first, max(first, win_start - cfg.loop_skip_recent))
+        edges = []
+        for i in candidates:
+            old = self.keyframes[i]
+            match_idx, _ = match_descriptors(
+                old.features, cur.features,
+                max_hamming=cfg.max_hamming, ratio=cfg.match_ratio,
+            )
+            match_idx = np.asarray(match_idx)
+            pts_i, obs, mask = [], [], []
+            for a, b in enumerate(match_idx):
+                if b < 0:
+                    continue
+                lid = old.feat_landmark[a]
+                lm = self.landmarks.get(lid) if lid >= 0 else None
+                if lm is not None:
+                    X_w = lm.position
+                elif np.isfinite(old.feat_z[a]):
+                    X_w = _transform_points(
+                        old.pose,
+                        _unproject(old.kp_np[a][None], old.feat_z[a][None],
+                                   self.K),
+                    )[0]
+                else:
+                    continue
+                # express in keyframe i's local frame (drift-independent)
+                pts_i.append(_world_to_cam_points(old.pose, X_w[None])[0])
+                obs.append(cur.kp_np[b])
+                mask.append(1.0)
+            if len(pts_i) < cfg.loop_min_matches:
+                continue
+            n_fix = 256  # static PnP problem size (jit cache friendly)
+            pts = np.zeros((n_fix, 3))
+            oxy = np.zeros((n_fix, 2))
+            msk = np.zeros((n_fix,))
+            m = min(len(pts_i), n_fix)
+            pts[:m] = np.asarray(pts_i)[:m]
+            oxy[:m] = np.asarray(obs)[:m]
+            msk[:m] = 1.0
+            # init: current drifted estimate of T_i^-1 * T_cur
+            init_rel = _rel_pose(old.pose, cur.pose)
+            pose, cost = solve_pnp_jit(
+                jnp.asarray(pts), jnp.asarray(oxy), jnp.asarray(msk),
+                jnp.asarray(self.K),
+                Pose(t=jnp.asarray(init_rel[:3]), q=jnp.asarray(init_rel[3:])),
+                2.0, 30,
+            )
+            if float(cost) > cfg.loop_max_pnp_cost:
+                continue
+            edges.append((i, cur_idx,
+                          np.asarray(pose.t), np.asarray(pose.q),
+                          cfg.loop_edge_weight))
+        return edges
+
     # ----------------------------------------------------------- pose graph
 
-    def _run_pose_graph(self):
-        """Relax the (truncated) keyframe chain: consecutive relative-pose
-        edges measured from the current (BA-refined inside the window,
-        odometry outside) chain. Window edges get higher information so BA's
-        corrections pull the older chain along."""
+    def _run_pose_graph(self, loop_edges):
+        """Distribute loop-closure corrections through the keyframe chain.
+
+        Backbone: consecutive edges measured from the CURRENT chain (BA-
+        refined relative poses — they encode everything window BA learned).
+        Loop edges: drift-independent PnP measurements. Relaxation balances
+        the two; landmarks re-anchor to their moved host keyframes; the
+        caller feeds the corrected newest pose back to the tracker."""
         n = len(self.keyframes)
-        if n < 3:
-            return
         start = max(0, n - self.cfg.max_chain)
         nodes = list(range(start, n))
-        win = set(self._window_ids())
+        node_of = {k: r for r, k in enumerate(nodes)}
+
+        old_poses = {k: self.keyframes[k].pose for k in nodes}
 
         t = jnp.asarray(np.stack(
             [np.asarray(self.keyframes[k].pose.t) for k in nodes]
@@ -382,15 +597,20 @@ class VOBackend:
         ii, jj, et, eq, w = [], [], [], [], []
         for r in range(len(nodes) - 1):
             a, b = nodes[r], nodes[r + 1]
-            pa, pb = self.keyframes[a].pose, self.keyframes[b].pose
-            qa_inv = quat_conjugate(jnp.asarray(pa.q))
-            eq.append(np.asarray(quat_multiply(qa_inv, jnp.asarray(pb.q))))
-            et.append(np.asarray(quat_rotate(
-                qa_inv, jnp.asarray(pb.t) - jnp.asarray(pa.t)
-            )))
+            rel = _rel_pose(self.keyframes[a].pose, self.keyframes[b].pose)
+            et.append(rel[:3])
+            eq.append(rel[3:])
             ii.append(r)
             jj.append(r + 1)
-            w.append(10.0 if (a in win and b in win) else 1.0)
+            w.append(1.0)
+        for (a, b, lt, lq, lw) in loop_edges:
+            if a not in node_of or b not in node_of:
+                continue
+            ii.append(node_of[a])
+            jj.append(node_of[b])
+            et.append(lt)
+            eq.append(lq)
+            w.append(lw)
 
         edges = PoseGraphEdge(
             i=jnp.asarray(np.asarray(ii), jnp.int32),
@@ -408,3 +628,14 @@ class VOBackend:
             self.keyframes[k].pose = Pose(
                 t=jnp.asarray(rt[r]), q=jnp.asarray(rq[r])
             )
+
+        # re-anchor landmarks with their host keyframe's correction:
+        # X' = T_new * T_old^-1 * X
+        for lm in self.landmarks.values():
+            k = lm.anchor
+            if k not in node_of:
+                continue
+            old = old_poses[k]
+            new = self.keyframes[k].pose
+            X_local = _world_to_cam_points(old, lm.position[None])
+            lm.position = _transform_points(new, X_local)[0]

@@ -54,6 +54,14 @@ def _build_arg_parser() -> argparse.ArgumentParser:
                    help="frames per device dispatch (>1 = chunked lax.scan "
                         "tracking; amortizes dispatch latency, ~5x faster "
                         "on remote-attached TPUs)")
+    t.add_argument("--backend", choices=["none", "ba", "ba+pg"],
+                   default="none",
+                   help="keyframe backend: 'ba' = sliding-window Schur BA "
+                        "with odometry priors refining the keyframe chain; "
+                        "'ba+pg' additionally detects loop closures and "
+                        "relaxes the chain with a pose graph")
+    t.add_argument("--backend-window", type=int, default=7,
+                   help="BA window size in keyframes (BASELINE config 4)")
 
     s = sub.add_parser("synth", help="generate a synthetic blurred sequence")
     s.add_argument("--output", required=True, help="output directory")
@@ -145,7 +153,18 @@ def cmd_track(args) -> int:
     cfg = (
         load_tracker_config(args.config) if args.config else TrackerConfig()
     )
-    tracker = BlurAwareTracker(cfg, K, (H, W))
+    backend = None
+    if args.backend != "none":
+        from .backend.vo_backend import BackendConfig, VOBackend
+
+        backend = VOBackend(
+            BackendConfig(
+                window_size=args.backend_window,
+                run_pose_graph=(args.backend == "ba+pg"),
+            ),
+            K,
+        )
+    tracker = BlurAwareTracker(cfg, K, (H, W), backend=backend)
     start_idx = 0
     if args.resume and os.path.exists(
         os.path.join(args.checkpoint_dir, "meta.json")

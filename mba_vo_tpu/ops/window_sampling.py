@@ -26,6 +26,7 @@ position-tangent samples the gradient channels.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -41,19 +42,24 @@ def stack_image_channels(img: jnp.ndarray, grad: jnp.ndarray) -> jnp.ndarray:
 def extract_windows(
     chans: jnp.ndarray, centers: jnp.ndarray, win: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Extract [N, C, win, win] windows centered (as close as borders allow)
-    on ``centers`` [N, 2] (x, y). Returns (windows, starts [N, 2] int32 (x0, y0)).
+    """Extract [N, C, win_h, win_w] windows centered (as close as borders
+    allow) on ``centers`` [N, 2] (x, y), with win_h = min(win, H) and
+    win_w = min(win, W) — coarse pyramid levels can be smaller than the
+    configured window, in which case the window IS the whole level axis.
+    Returns (windows, starts [N, 2] int32 (x0, y0)).
     """
     C, H, W = chans.shape
-    cx = jnp.floor(centers[:, 0]).astype(jnp.int32) - win // 2
-    cy = jnp.floor(centers[:, 1]).astype(jnp.int32) - win // 2
-    x0 = jnp.clip(cx, 0, max(W - win, 0))
-    y0 = jnp.clip(cy, 0, max(H - win, 0))
+    win_h = min(win, H)
+    win_w = min(win, W)
+    cx = jnp.floor(centers[:, 0]).astype(jnp.int32) - win_w // 2
+    cy = jnp.floor(centers[:, 1]).astype(jnp.int32) - win_h // 2
+    x0 = jnp.clip(cx, 0, max(W - win_w, 0))
+    y0 = jnp.clip(cy, 0, max(H - win_h, 0))
 
     zero = jnp.int32(0)
 
     def one(x0_, y0_):
-        return lax.dynamic_slice(chans, (zero, y0_, x0_), (C, win, win))
+        return lax.dynamic_slice(chans, (zero, y0_, x0_), (C, win_h, win_w))
 
     windows = jax.vmap(one)(x0, y0)
     return windows, jnp.stack([x0, y0], axis=-1)
@@ -65,24 +71,61 @@ def _hat_weights(coord: jnp.ndarray, win: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - grid))
 
 
+def _use_pallas(dtype) -> bool:
+    """Route window sampling through the fused Mosaic kernel on TPU f32
+    when MBA_VO_USE_PALLAS=1.
+
+    Opt-IN for now: measured on the real chip (BENCH_KERNELS_r03.json), the
+    XLA lowering fuses this op well (~43 us at N=512, S=320, win=32) while
+    the Pallas dense-hat kernel's batched K=32 matmuls under-fill the MXU
+    (~226 us). The kernel stays as the diff-tested fusion baseline and the
+    vehicle for future tap-sparse variants; bench_kernels.py A/Bs both."""
+    if not os.environ.get("MBA_VO_USE_PALLAS"):
+        return False
+    if dtype != jnp.float32:
+        return False   # Mosaic TPU kernels are f32; f64 is the CPU test path
+    from .pallas_sampling import pallas_available
+
+    return pallas_available()
+
+
+def window_bilinear_xla(
+    windows: jnp.ndarray,   # [N, C, win_h, win_w]
+    local_xy: jnp.ndarray,  # [N, S, 2] window-relative coords
+    valid: jnp.ndarray,     # [N, S] bool/float — global validity
+) -> jnp.ndarray:
+    """Pure-XLA lowering: two einsum contractions with materialized hat
+    weights. The differential-test reference for the Pallas kernel, and the
+    fallback off-TPU / in f64. Windows may be rectangular (clamped at small
+    pyramid levels, see extract_windows)."""
+    wx = _hat_weights(local_xy[..., 0], windows.shape[-1])   # [N, S, win_w]
+    wy = _hat_weights(local_xy[..., 1], windows.shape[-2])   # [N, S, win_h]
+    # rows first: A[n, c, i, s] = sum_j windows[n,c,i,j] * wx[n,s,j]
+    A = jnp.einsum("ncij,nsj->ncis", windows, wx)
+    out = jnp.einsum("ncis,nsi->ncs", A, wy)
+    return out * valid[:, None, :]
+
+
 def window_bilinear(
     windows: jnp.ndarray,   # [N, C, win, win]
     local_xy: jnp.ndarray,  # [N, S, 2] window-relative coords
     valid: jnp.ndarray,     # [N, S] bool/float — global validity
 ) -> jnp.ndarray:
-    """[N, C, S] bilinear samples of every channel, via two MXU contractions.
+    """[N, C, S] bilinear samples of every channel.
 
     Out-of-window coords produce 0 automatically (hat weights vanish beyond
     the window); ``valid`` additionally masks samples whose *global* position
-    is outside the image.
+    is outside the image. On TPU f32 this dispatches to the fused Pallas
+    kernel (ops.pallas_sampling); elsewhere to the XLA einsum pair.
     """
-    win = windows.shape[-1]
-    wx = _hat_weights(local_xy[..., 0], win)   # [N, S, win]
-    wy = _hat_weights(local_xy[..., 1], win)   # [N, S, win]
-    # rows first: A[n, c, i, s] = sum_j windows[n,c,i,j] * wx[n,s,j]
-    A = jnp.einsum("ncij,nsj->ncis", windows, wx)
-    out = jnp.einsum("ncis,nsi->ncs", A, wy)
-    return out * valid[:, None, :]
+    if _use_pallas(windows.dtype):
+        from .pallas_sampling import pallas_window_bilinear
+
+        return pallas_window_bilinear(
+            windows, local_xy.astype(windows.dtype),
+            valid.astype(windows.dtype),
+        )
+    return window_bilinear_xla(windows, local_xy, valid)
 
 
 @jax.custom_jvp

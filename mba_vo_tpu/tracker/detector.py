@@ -92,3 +92,34 @@ def detect_semidense(
 
 
 detect_semidense_jit = jax.jit(detect_semidense, static_argnums=(1, 2))
+
+
+def refine_subpixel(
+    resp: jnp.ndarray, kp_xy: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """Sub-pixel corner refinement by per-axis parabola fit on the response.
+
+    Parity with the reference's cv::cornerSubPix step
+    (FeatureDetectorSparse.cpp:55-60), TPU-style: for each integer-pixel
+    keypoint, the 1D quadratic through (r[-1], r[0], r[+1]) along each axis
+    peaks at offset -0.5 (r[+1]-r[-1]) / (r[+1]-2 r[0]+r[-1]); offsets are
+    clamped to +-0.5 px and zeroed at flat/invalid points. Integer-pixel
+    detections carry +-0.5 px quantization noise that dominates reprojection
+    BA at small baselines — this brings corners to ~0.1 px.
+    """
+    H, W = resp.shape
+    xi = jnp.clip(kp_xy[:, 0].astype(jnp.int32), 1, W - 2)
+    yi = jnp.clip(kp_xy[:, 1].astype(jnp.int32), 1, H - 2)
+
+    def at(dy, dx):
+        return resp[yi + dy, xi + dx]
+
+    def axis_offset(rm, r0, rp):
+        denom = rp - 2.0 * r0 + rm
+        off = jnp.where(jnp.abs(denom) > 1e-12, -0.5 * (rp - rm) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    ox = axis_offset(at(0, -1), at(0, 0), at(0, 1))
+    oy = axis_offset(at(-1, 0), at(0, 0), at(1, 0))
+    refined = kp_xy + jnp.stack([ox, oy], axis=-1).astype(kp_xy.dtype)
+    return jnp.where(mask[:, None] > 0, refined, kp_xy)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.image import bilinear_sample, image_gradients
-from .detector import DetectorOptions, detect_semidense
+from .detector import DetectorOptions, detect_semidense, refine_subpixel
 
 NUM_BRIEF_BITS = 256
 _PATCH_RADIUS = 15
@@ -116,11 +116,14 @@ def detect_sparse(
     img: jnp.ndarray, opts: DetectorOptions, level: int = 0,
     pattern: jnp.ndarray = None,
 ) -> SparseFeatures:
-    """Shi-Tomasi corners + grid NMS + oriented BRIEF, one jitted call."""
+    """Shi-Tomasi corners + grid NMS + sub-pixel refinement + oriented
+    BRIEF, one jitted call (reference FeatureDetectorSparse.cpp:28-121:
+    Shi-Tomasi + cornerSubPix + ORB descriptors)."""
     if pattern is None:
         pattern = jnp.asarray(brief_pattern())
     resp = shi_tomasi_response(img)
     kp_xy, response, mask = detect_semidense(resp, level, opts)
+    kp_xy = refine_subpixel(resp, kp_xy, mask)
     theta = orientation_ic(img, kp_xy)
     desc = brief_descriptors(img, kp_xy, theta, pattern)
     desc = desc * mask[:, None]

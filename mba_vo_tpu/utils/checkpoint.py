@@ -16,6 +16,99 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _backend_state_pytree(backend) -> Dict[str, Any]:
+    """Serializable pytree of VOBackend state (keyframe chain + landmark
+    table). Feature records are flat arrays; observation dicts flatten to
+    (landmark row, keyframe id, xy) triplet arrays."""
+    kfs = []
+    for kf in backend.keyframes:
+        f = kf.features
+        kfs.append({
+            "pose_t": np.asarray(kf.pose.t),
+            "pose_q": np.asarray(kf.pose.q),
+            "odom_rel_prev": (
+                np.asarray(kf.odom_rel_prev)
+                if kf.odom_rel_prev is not None
+                else np.full((7,), np.nan)
+            ),
+            "cap_time": np.asarray(kf.cap_time),
+            "feat_landmark": np.asarray(kf.feat_landmark),
+            "feat_z": np.asarray(kf.feat_z),
+            "kp_xy": np.asarray(f.kp_xy),
+            "response": np.asarray(f.response),
+            "mask": np.asarray(f.mask),
+            "orientation": np.asarray(f.orientation),
+            "descriptors": np.asarray(f.descriptors),
+        })
+    lm_ids = sorted(backend.landmarks)
+    positions = np.zeros((len(lm_ids), 3))
+    anchors = np.zeros((len(lm_ids),), np.int64)
+    obs_rows, obs_kf, obs_xy = [], [], []
+    for row, lid in enumerate(lm_ids):
+        lm = backend.landmarks[lid]
+        positions[row] = lm.position
+        anchors[row] = lm.anchor
+        for k, xy in lm.obs.items():
+            obs_rows.append(row)
+            obs_kf.append(k)
+            obs_xy.append(xy)
+    state: Dict[str, Any] = {
+        "keyframes": kfs,
+        "next_lm": np.asarray(backend._next_lm),
+    }
+    # orbax rejects zero-size arrays — empty tables are simply absent keys
+    if lm_ids:
+        state["landmark_ids"] = np.asarray(lm_ids, np.int64)
+        state["landmark_pos"] = positions
+        state["landmark_anchor"] = anchors
+    if obs_rows:
+        state["obs_row"] = np.asarray(obs_rows, np.int64)
+        state["obs_kf"] = np.asarray(obs_kf, np.int64)
+        state["obs_xy"] = np.asarray(obs_xy)
+    return state
+
+
+def _restore_backend_state(backend, state: Dict[str, Any]) -> None:
+    from ..backend.vo_backend import _Keyframe, _Landmark
+    from ..core.transform import Pose
+    from ..tracker.sparse_features import SparseFeatures
+
+    backend.keyframes = []
+    for s in state["keyframes"]:
+        feats = SparseFeatures(
+            kp_xy=jnp.asarray(s["kp_xy"]),
+            response=jnp.asarray(s["response"]),
+            mask=jnp.asarray(s["mask"]),
+            orientation=jnp.asarray(s["orientation"]),
+            descriptors=jnp.asarray(s["descriptors"]),
+        )
+        rel = np.asarray(s["odom_rel_prev"])
+        kf = _Keyframe(
+            Pose(t=jnp.asarray(s["pose_t"]), q=jnp.asarray(s["pose_q"])),
+            feats,
+            float(s["cap_time"]),
+            odom_rel_prev=None if np.isnan(rel[0]) else rel,
+            feat_z=np.asarray(s["feat_z"]),
+        )
+        kf.feat_landmark = np.asarray(s["feat_landmark"]).copy()
+        backend.keyframes.append(kf)
+
+    backend.landmarks = {}
+    lm_ids = np.asarray(state.get("landmark_ids", np.zeros((0,), np.int64)))
+    if lm_ids.size:
+        pos = np.asarray(state["landmark_pos"])
+        anchor = np.asarray(state["landmark_anchor"])
+        for row, lid in enumerate(lm_ids):
+            backend.landmarks[int(lid)] = _Landmark(pos[row], int(anchor[row]))
+    if "obs_row" in state and state["obs_row"] is not None:
+        rows = np.asarray(state["obs_row"])
+        kfs = np.asarray(state["obs_kf"])
+        xys = np.asarray(state["obs_xy"])
+        for r, k, xy in zip(rows, kfs, xys):
+            backend.landmarks[int(lm_ids[r])].obs[int(k)] = xy
+    backend._next_lm = int(state["next_lm"])
+
+
 def _tracker_state_pytree(tracker) -> Dict[str, Any]:
     return {
         "knots": {
@@ -41,12 +134,17 @@ def _tracker_state_pytree(tracker) -> Dict[str, Any]:
 
 
 def save_tracker_state(tracker, path: str) -> None:
-    """Write the tracker's resumable state with orbax."""
+    """Write the tracker's resumable state with orbax — including the
+    attached VOBackend's keyframe chain + landmark map when one is wired
+    (a resumed --backend run must not silently continue map-less)."""
     import orbax.checkpoint as ocp
 
+    state = _tracker_state_pytree(tracker)
+    if tracker.backend is not None:
+        state["backend"] = _backend_state_pytree(tracker.backend)
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, _tracker_state_pytree(tracker), force=True)
+    ckptr.save(path, state, force=True)
 
 
 def load_tracker_state(tracker, path: str) -> None:
@@ -85,3 +183,5 @@ def load_tracker_state(tracker, path: str) -> None:
         q=jnp.asarray(state["T_keyframe"]["q"]),
     )
     tracker.neigh_velocity = jnp.asarray(state["neigh_velocity"])
+    if "backend" in state and tracker.backend is not None:
+        _restore_backend_state(tracker.backend, state["backend"])
