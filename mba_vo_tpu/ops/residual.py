@@ -397,6 +397,48 @@ def compute_rjv(
     return compute_residuals(knots, data, num_vir, degree, with_jacobian)
 
 
+def _kahan_chunked_normal_eq(Jw: jnp.ndarray, rw: jnp.ndarray,
+                             precision, chunks: int = 16):
+    """(g, H) = (Jw^T rw, Jw^T Jw) with compensated cross-chunk summation.
+
+    The residual axis M is split into ``chunks`` blocks; each block's
+    partial normal equations come from one matmul, and the block partials
+    combine with Kahan compensation — bounding the cross-block accumulation
+    error at one f32 ulp instead of O(chunks) ulps. This is the TPU analogue
+    of the reference's f64 H/g accumulators (CustomType.h:6 FLOAT=double):
+    TPU has no fast f64, so the design splits precision into (a) full-f32
+    matmul passes via ``precision`` (XLA's default lowers f32 einsums to
+    bf16 MXU passes) and (b) compensated accumulation across blocks.
+    """
+    M, D = Jw.shape
+    pad = (-M) % chunks
+    if pad:
+        Jw = jnp.concatenate([Jw, jnp.zeros((pad, D), Jw.dtype)], axis=0)
+        rw = jnp.concatenate([rw, jnp.zeros((pad,), rw.dtype)])
+    Jc = Jw.reshape(chunks, -1, D)
+    rc = rw.reshape(chunks, -1)
+    g_parts = jnp.einsum("cmk,cm->ck", Jc, rc, precision=precision)
+    H_parts = jnp.einsum("cmk,cml->ckl", Jc, Jc, precision=precision)
+
+    def kahan_step(carry, part):
+        s, comp = carry
+        y = part - comp
+        t = s + y
+        comp = (t - s) - y
+        return (t, comp), None
+
+    (g, _), _ = jax.lax.scan(
+        kahan_step, (jnp.zeros((D,), Jw.dtype), jnp.zeros((D,), Jw.dtype)),
+        g_parts,
+    )
+    (H, _), _ = jax.lax.scan(
+        kahan_step,
+        (jnp.zeros((D, D), Jw.dtype), jnp.zeros((D, D), Jw.dtype)),
+        H_parts,
+    )
+    return g, H
+
+
 def assemble(
     r: jnp.ndarray,
     J: Optional[jnp.ndarray],
@@ -404,12 +446,22 @@ def assemble(
     huber_a: float,
     outlier_mask: jnp.ndarray,
     axis_name: Optional[str] = None,
+    precision: str = "default",
+    compensated: bool = False,
 ) -> Evaluation:
     """Huber cost (+ gradient + Gauss-Newton Hessian) from residuals.
 
     The reductions of the reference's patch/frame kernels + merge
     (compute_hessian_gradients_cost.cu:165-283,
     merge_hessian_gradient_cost.cpp) as two matmuls and a handful of sums.
+
+    precision: "default" | "highest". On TPU, "highest" forces full-f32
+        multiply passes for the normal-equation matmuls (XLA's default uses
+        bf16 MXU passes for f32 einsums). No-op on CPU.
+    compensated: Kahan-compensated cross-chunk accumulation of H/g — see
+        _kahan_chunked_normal_eq. Together these are the framework's
+        precision story replacing the reference's f64 accumulators
+        (CustomType.h:6), validated by tests/test_precision.py.
     """
     F = data.cur_imgs.shape[0]
     P = data.pattern.shape[0]
@@ -433,10 +485,16 @@ def assemble(
         return Evaluation(cost=cost, gradient=None, hessian=None,
                           patch_costs=patch_costs)
 
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest" else None)
     rw = (r * w * kp_w).reshape(-1)                      # [M]
     Jw = (J * (w * kp_w)[..., None]).reshape(rw.shape[0], -1)  # [M, 6K]
-    g = allreduce(Jw.T @ rw) * inv_n
-    Hm = allreduce(Jw.T @ Jw) * inv_n
+    if compensated:
+        g, Hm = _kahan_chunked_normal_eq(Jw, rw, prec)
+    else:
+        g = jnp.einsum("mk,m->k", Jw, rw, precision=prec)
+        Hm = jnp.einsum("mk,ml->kl", Jw, Jw, precision=prec)
+    g = allreduce(g) * inv_n
+    Hm = allreduce(Hm) * inv_n
     return Evaluation(cost=cost, gradient=g, hessian=Hm, patch_costs=patch_costs)
 
 
@@ -451,6 +509,8 @@ def evaluate(
     axis_name: Optional[str] = None,
     sampling: str = "direct",
     window: int = 32,
+    precision: str = "default",
+    compensated: bool = False,
 ) -> Evaluation:
     """Full objective evaluation: cost (+ gradient + Gauss-Newton Hessian).
 
@@ -475,4 +535,5 @@ def evaluate(
     r, J, _valid = compute_rjv(
         knots, data, num_vir, degree, with_jacobian, sampling, window
     )
-    return assemble(r, J, data, huber_a, outlier_mask, axis_name)
+    return assemble(r, J, data, huber_a, outlier_mask, axis_name,
+                    precision=precision, compensated=compensated)

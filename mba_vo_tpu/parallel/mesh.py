@@ -71,9 +71,15 @@ def level_data_specs() -> TrackingLevelData:
 def shard_level_data(
     data: TrackingLevelData, mesh: Mesh
 ) -> TrackingLevelData:
-    """Pad and device_put the level data with keypoint sharding."""
+    """Pad and device_put the level data with keypoint sharding.
+
+    Works for 1-D meshes (keypoints over the single axis) and N-D pod
+    meshes (keypoints over the flattened axes, host-major)."""
     data = pad_keypoints(data, mesh.devices.size)
-    specs = level_data_specs()
+    kp_spec = P(tuple(mesh.axis_names))
+    specs = level_data_specs()._replace(
+        kp_xy=kp_spec, kp_z=kp_spec, kp_mask=kp_spec
+    )
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), data, specs
     )

@@ -12,7 +12,7 @@ round-trips (SURVEY.md §2.5, §3.2).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -25,24 +25,16 @@ from ..solver.lm import LMOptions, LMSummary, optimize_level
 from .mesh import KP_AXIS, level_data_specs, shard_level_data
 
 
-def optimize_level_sharded(
-    knots: SplineKnots,
-    data: TrackingLevelData,
-    num_vir: int,
-    degree: int,
-    opts: LMOptions,
-    mesh: Mesh,
-) -> Tuple[SplineKnots, LMSummary]:
-    """Keypoint-sharded optimize_level. ``data`` keypoint count must be a
-    multiple of the mesh size (use parallel.mesh.shard_level_data)."""
-
+@lru_cache(maxsize=64)
+def _sharded_fn(mesh: Mesh, num_vir: int, degree: int, opts: LMOptions):
+    """One stable jitted shard_map per (mesh, static config) — a fresh
+    wrapper per call would defeat jax's compile cache and recompile the
+    whole LM loop every invocation (measured: seconds per 'step')."""
     knots_spec = SplineKnots(t=P(), q=P(), t0=P(), dt=P())
     data_spec = level_data_specs()
-    out_knots_spec = knots_spec
     out_summary_spec = LMSummary(
         final_cost=P(), num_iterations=P(), outlier_mask=P(KP_AXIS)
     )
-
     fn = shard_map(
         partial(
             optimize_level,
@@ -53,7 +45,66 @@ def optimize_level_sharded(
         ),
         mesh=mesh,
         in_specs=(knots_spec, data_spec),
-        out_specs=(out_knots_spec, out_summary_spec),
+        out_specs=(knots_spec, out_summary_spec),
         check_vma=False,
     )
-    return jax.jit(fn)(knots, data)
+    return jax.jit(fn)
+
+
+def optimize_level_sharded(
+    knots: SplineKnots,
+    data: TrackingLevelData,
+    num_vir: int,
+    degree: int,
+    opts: LMOptions,
+    mesh: Mesh,
+) -> Tuple[SplineKnots, LMSummary]:
+    """Keypoint-sharded optimize_level. ``data`` keypoint count must be a
+    multiple of the mesh size (use parallel.mesh.shard_level_data)."""
+    return _sharded_fn(mesh, num_vir, degree, opts)(knots, data)
+
+
+@lru_cache(maxsize=64)
+def _sharded_pod_fn(mesh: Mesh, num_vir: int, degree: int, opts: LMOptions):
+    axes = tuple(mesh.axis_names)
+    kp_spec = P(axes)   # shard over the flattened (host, device) axes
+    data_spec = TrackingLevelData(
+        img_ref=P(), grad_ref=P(), cur_imgs=P(), cap_times=P(), exp_times=P(),
+        kp_xy=kp_spec, kp_z=kp_spec, kp_mask=kp_spec, pattern=P(), K=P(),
+    )
+    knots_spec = SplineKnots(t=P(), q=P(), t0=P(), dt=P())
+    out_summary_spec = LMSummary(
+        final_cost=P(), num_iterations=P(), outlier_mask=kp_spec
+    )
+    fn = shard_map(
+        partial(
+            optimize_level,
+            num_vir=num_vir,
+            degree=degree,
+            opts=opts,
+            axis_name=axes,   # lax.psum over the full (host, device) tuple
+        ),
+        mesh=mesh,
+        in_specs=(knots_spec, data_spec),
+        out_specs=(knots_spec, out_summary_spec),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def optimize_level_sharded_pod(
+    knots: SplineKnots,
+    data: TrackingLevelData,
+    num_vir: int,
+    degree: int,
+    opts: LMOptions,
+    mesh: Mesh,
+) -> Tuple[SplineKnots, LMSummary]:
+    """Keypoint-sharded LM over a 2-D (host, device) pod mesh.
+
+    Keypoints shard over the FLATTENED mesh (host-major, so each host owns a
+    contiguous block and the psum hierarchy rides ICI within a host before
+    crossing DCN — SURVEY.md §7 phase 6); spline state and images replicate.
+    ``data`` keypoint count must be a multiple of the total mesh size.
+    """
+    return _sharded_pod_fn(mesh, num_vir, degree, opts)(knots, data)

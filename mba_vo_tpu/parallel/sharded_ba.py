@@ -35,7 +35,10 @@ def make_ba_mesh(n_devices=None) -> Mesh:
     return Mesh(np.asarray(devs), (LM_AXIS,))
 
 
-def _problem_specs() -> BAProblem:
+def _problem_specs(has_odom: bool = False,
+                   has_pose_mask: bool = False) -> BAProblem:
+    from ..backend.ba import OdomPrior
+
     return BAProblem(
         poses=Pose(t=P(), q=P()),
         map=SlidingWindowMap(
@@ -45,6 +48,9 @@ def _problem_specs() -> BAProblem:
             obs_mask=P(None, LM_AXIS),
         ),
         K=P(),
+        # pose-indexed extras replicate (odometry priors / window pose mask)
+        odom=OdomPrior(t=P(), q=P(), weight=P()) if has_odom else None,
+        pose_mask=P() if has_pose_mask else None,
     )
 
 
@@ -54,24 +60,39 @@ def shard_ba_problem(problem: BAProblem, mesh: Mesh) -> BAProblem:
     m = problem.map
     target = ((m.num_points + n - 1) // n) * n
     problem = problem._replace(map=pad_map(m, target))
-    specs = _problem_specs()
+    specs = _problem_specs(problem.odom is not None,
+                           problem.pose_mask is not None)
     return jax.tree.map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), problem, specs
     )
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _sharded_ba_fn(mesh: Mesh, opts: BAOptions, has_odom: bool,
+                   has_pose_mask: bool):
+    """Stable jitted shard_map per (mesh, opts) — a fresh wrapper per call
+    would recompile the whole BA loop every invocation."""
+    specs = _problem_specs(has_odom, has_pose_mask)
+    fn = shard_map(
+        partial(run_bundle_adjustment, opts=opts, axis_name=LM_AXIS),
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(
+            specs,
+            BASummary(initial_cost=P(), final_cost=P(), num_iterations=P()),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def run_bundle_adjustment_sharded(
     problem: BAProblem, opts: BAOptions, mesh: Mesh
 ) -> Tuple[BAProblem, BASummary]:
     """Landmark-sharded BA; problem must come from shard_ba_problem."""
-    fn = shard_map(
-        partial(run_bundle_adjustment, opts=opts, axis_name=LM_AXIS),
-        mesh=mesh,
-        in_specs=(_problem_specs(),),
-        out_specs=(
-            _problem_specs(),
-            BASummary(initial_cost=P(), final_cost=P(), num_iterations=P()),
-        ),
-        check_vma=False,
-    )
-    return jax.jit(fn)(problem)
+    return _sharded_ba_fn(
+        mesh, opts, problem.odom is not None, problem.pose_mask is not None
+    )(problem)

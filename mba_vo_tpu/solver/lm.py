@@ -69,6 +69,22 @@ class LMOptions:
     solver: str = "cholesky"  # "cholesky" | "lu" | "svd"
     sampling: str = "direct"  # "direct" | "windowed" (see ops.residual)
     window: int = 32
+    # Reference parity: a valid-but-rejected step TERMINATES the level
+    # (blur_aware_direct_tracker.cpp:623-636 leaves abs_cost_decrease
+    # negative). True = standard Ceres trust-region behavior instead:
+    # shrink the radius and retry. The per-frame tracker keeps the
+    # reference semantics (warm starts make rejections terminal-worthy);
+    # the joint multi-frame window enables retry — a cold 4-frame window's
+    # first Gauss-Newton step routinely overshoots, and terminating there
+    # strands the whole chunk.
+    retry_rejected_steps: bool = False
+    # Normal-equation precision (ops.residual.assemble): "highest" forces
+    # full-f32 MXU passes for the H/g matmuls (XLA default is bf16 passes on
+    # TPU); compensated_sum adds Kahan accumulation across residual chunks —
+    # together the TPU replacement for the reference's f64 accumulators
+    # (CustomType.h:6). Both are no-ops in the f64 CPU test configuration.
+    precision: str = "default"  # "default" | "highest"
+    compensated_sum: bool = False
     # Knot smoothness prior weight (0 = off). A single blurred frame only
     # observes the exposure-AVERAGE of the trajectory: for a cubic (deg-4)
     # segment that leaves near-gauge knot directions (endpoint knots carry
@@ -266,7 +282,8 @@ def optimize_level(
 
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
                    axis_name=axis_name, sampling=opts.sampling,
-                   window=opts.window)
+                   window=opts.window, precision=opts.precision,
+                   compensated=opts.compensated_sum)
     cp0, gp0, Hp0 = prior(knots)
 
     state0 = _LMState(
@@ -326,7 +343,8 @@ def optimize_level(
                 sampling=opts.sampling, window=opts.window,
             )
             ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
-                            axis_name=axis_name)
+                            axis_name=axis_name, precision=opts.precision,
+                            compensated=opts.compensated_sum)
             cp_c, gp_c, Hp_c = prior(cand)
             cand_cost = ev_c.cost + cp_c
             quality = _step_quality(s.ev, cand_cost, model_cost_change)
@@ -341,7 +359,9 @@ def optimize_level(
                     axis_name=axis_name,
                 )
                 ev_f = assemble(r, J, data, opts.huber_a, new_mask,
-                                axis_name=axis_name)
+                                axis_name=axis_name,
+                                precision=opts.precision,
+                                compensated=opts.compensated_sum)
                 new_radius = s.radius / jnp.maximum(
                     1.0 / 3.0, 1.0 - (2.0 * quality - 1.0) ** 3
                 )
@@ -367,7 +387,13 @@ def optimize_level(
                     radius=clip_radius(s.radius / s.decrease_factor),
                     decrease_factor=s.decrease_factor * 2.0,
                     num_iterations=s.num_iterations + 1,
-                    abs_cost_decrease=acd,
+                    # reference: a rejected step's (negative) decrease ends
+                    # the level; retry mode keeps looping with the smaller
+                    # radius (see LMOptions.retry_rejected_steps)
+                    abs_cost_decrease=(
+                        s.abs_cost_decrease
+                        if opts.retry_rejected_steps else acd
+                    ),
                 )
 
             return lax.cond(success, accept, reject, s)

@@ -35,9 +35,12 @@ from jax import lax
 from ..core.lie import quat_conjugate, quat_multiply, quat_log, quat_rotate
 from ..core.spline import (
     SplineKnots,
+    extrapolate_knot,
     identity_knots,
     make_knots,
+    slide_control_window,
     spline_pose_at,
+    spline_pose_at_times,
     spline_transform_by_right,
     spline_transform_to,
 )
@@ -73,6 +76,15 @@ class TrackerConfig:
     # None = auto: off for deg 2 (fully constrained), on for deg 4 where a
     # single frame's exposure-average leaves near-gauge cubic directions
     knot_prior_weight: Optional[float] = None
+    # normal-equation precision (LMOptions.precision / compensated_sum):
+    # "highest" = full-f32 MXU passes; compensated = Kahan chunk accumulation
+    precision: str = "default"
+    compensated_sum: bool = False
+    # failure detection / elastic recovery (utils.failure): reject a frame
+    # whose tracking statistics are non-finite or whose average flow exceeds
+    # max_sane_flow px, restoring the pre-frame spline/velocity state
+    auto_recover: bool = True
+    max_sane_flow: float = 1e4
     # keyframe criteria (.h:57-61)
     keyframe_max_flow_mag0: float = 15.0
     keyframe_max_flow_mag1: float = 30.0
@@ -99,6 +111,8 @@ class TrackerConfig:
             sampling=self.sampling,
             window=self.sampling_window,
             knot_prior_weight=w,
+            precision=self.precision,
+            compensated_sum=self.compensated_sum,
         )
 
 
@@ -251,7 +265,11 @@ def _frame_step(
         knots, T_prev, cap_time, dt_frame,
         kf_kp_xy[0], kf_kp_z[0], kf_kp_mask[0], K0, exp_time, degree,
     )
-    stats = jnp.stack([avg_flow, avg_kernel])
+    # [flow, blur kernel, finest-level LM cost] — the cost is the failure
+    # detector's signal: a corrupted frame leaves NaN/Inf costs even when
+    # the rejected-step path keeps the knots themselves finite
+    stats = jnp.stack([avg_flow, avg_kernel,
+                       summaries[-1][1].final_cost.astype(avg_flow.dtype)])
     return knots, pose_cap, neigh_velocity, stats, summaries
 
 
@@ -348,13 +366,99 @@ def _track_chunk_fused(
 
     _, ys = lax.scan(step, (knots, neigh_velocity, T_prev), (scalars, cur_imgs))
     pose_caps, results, stats, iters, knots_seq, vel_seq = ys
-    # everything the host reads per chunk, packed into ONE [C, 9+L] array so
+    # everything the host reads per chunk, packed into ONE [C, 10+L] array so
     # the chunk costs exactly one device->host transfer: per-frame
-    # (flow, blur-kernel, result t[3], result q[4], LM iterations per level)
+    # (flow, blur-kernel, LM cost, result t[3], result q[4], LM iterations
+    # per level)
     host_pack = jnp.concatenate(
         [stats, results.t, results.q, iters.astype(stats.dtype)], axis=1
     )
     return host_pack, pose_caps, knots_seq, vel_seq
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts",
+                     "do_slide", "chunk"),
+)
+def _track_joint_window_fused(
+    knots: SplineKnots,      # [K] knot window, K = chunk + degree - 1
+    T_keyframe: Pose,
+    scalars,                 # [3]: (cap_time_0, exp_time, dt_frame)
+    cur_imgs,                # [C, H, W]
+    kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask,
+    pattern, K0,
+    *,
+    num_levels: int,
+    num_virtual_poses,
+    degree: int,
+    lm_opts,
+    do_slide: bool,
+    chunk: int,
+):
+    """Joint multi-frame window tracking: ONE LM problem over a C-frame
+    chunk with a sliding K-knot spline window.
+
+    The reference designs the solver for exactly this (<=16 frames /
+    <=16 knots, blur_aware_direct_tracker.h:42-47, with per-frame knot
+    segment indices merged into one global system,
+    merge_hessian_gradient_cost.cpp:39-86) but its tracker only ever solves
+    one frame at a time. Here:
+
+      1. the knot window advances C knots by repeated
+         PopFront+Insert-with-constant-velocity-extrapolation
+         (core.spline.slide_control_window / extrapolate_knot — the
+         Spline.h:146-158 window ops, jitted);
+      2. each of the C frames' exposures lives in its own spline segment
+         (knot_dt = dt_frame, t0 = cap_0 - exp/2), so the multi-frame
+         residual (ops.residual with F=C) couples consecutive frames
+         through shared knots — cross-frame smoothness the per-frame
+         tracker cannot express, and the configuration that makes degree-4
+         cubics well-posed;
+      3. coarse-to-fine LM over the joint window, all levels in this one
+         device dispatch.
+
+    Returns (knots, pose_caps [C], results [C] global poses).
+    """
+    cap0, exp_time, dt_frame = scalars[0], scalars[1], scalars[2]
+    dtype = knots.t.dtype
+
+    if do_slide:
+        def slide_once(k, _):
+            p = extrapolate_knot(k)
+            return slide_control_window(k, p.t, p.q), None
+
+        knots, _ = lax.scan(slide_once, knots, None, length=chunk)
+    knots = knots._replace(t0=cap0 - 0.5 * exp_time, dt=dt_frame)
+
+    caps = cap0 + dt_frame * jnp.arange(chunk, dtype=dtype)
+    exps = jnp.full((chunk,), exp_time, dtype)
+
+    pyr = [jax.vmap(lambda im: image_pyramid(im, num_levels)[lv])(cur_imgs)
+           for lv in range(num_levels)]
+    for i in range(num_levels):
+        lv = num_levels - 1 - i
+        data = TrackingLevelData(
+            img_ref=kf_imgs[lv],
+            grad_ref=kf_grads[lv],
+            cur_imgs=pyr[lv],
+            cap_times=caps,
+            exp_times=exps,
+            kp_xy=kf_kp_xy[lv],
+            kp_z=kf_kp_z[lv],
+            kp_mask=kf_kp_mask[lv],
+            pattern=pattern,
+            K=K0 / (2.0 ** lv),
+        )
+        knots, _summary = optimize_level(
+            knots, data, num_virtual_poses[lv], degree, lm_opts
+        )
+
+    pose_caps = spline_pose_at_times(knots, caps, degree)
+    results = jax.vmap(lambda t, q: pose_compose(T_keyframe, Pose(t=t, q=q)))(
+        pose_caps.t, pose_caps.q
+    )
+    return knots, pose_caps, results
 
 
 class BlurAwareTracker:
@@ -394,14 +498,19 @@ class BlurAwareTracker:
         # the most recent track_frames call, aligned with its returned poses
         self.last_track_stats: Optional[np.ndarray] = None
         # deferred keyframe decision: (stats_dev, pose_cap, cap_time,
-        # sharp_img, depth_map). The decision scalars are fetched at the
-        # START of the next track_frame so the device->host link round trip
-        # (~tens of ms on remote-attached TPUs) overlaps with this frame's
-        # device execution instead of serializing after it. Semantics are
-        # unchanged: the keyframe switch is still applied before the next
-        # frame is submitted, exactly like the reference's synchronous flow
-        # (blur_aware_direct_tracker.cpp:153-196).
+        # sharp_img, depth_map, pre_frame_state). The decision scalars are
+        # fetched at the START of the next track_frame so the device->host
+        # link round trip (~tens of ms on remote-attached TPUs) overlaps
+        # with this frame's device execution instead of serializing after
+        # it. Semantics are unchanged: the keyframe switch is still applied
+        # before the next frame is submitted, exactly like the reference's
+        # synchronous flow (blur_aware_direct_tracker.cpp:153-196).
+        # pre_frame_state enables elastic recovery: when the fetched
+        # statistics fail the health check, the frame is rejected and the
+        # tracker restores this snapshot (utils.failure).
         self._pending: Optional[tuple] = None
+        # detected-and-recovered failures (utils.failure.FailureEvent)
+        self.failure_log: list = []
 
     # ------------------------------------------------------------ keyframe
 
@@ -491,8 +600,17 @@ class BlurAwareTracker:
         blur_dev = jnp.asarray(blur_img, self.dtype)
         out = self._submit(blur_dev, cap_time, exp_time, dt_frame)
         if self.flush():
+            # state changed (keyframe installed, or a failed frame was
+            # rejected and the pre-frame state restored): recompute dt from
+            # the restored timestamp — a rejected frame leaves a gap that
+            # the constant-velocity prediction must span
+            dt_frame = cap_time - self.prev_timestamp
             out = self._submit(blur_dev, cap_time, exp_time, dt_frame)
 
+        # pre-frame snapshot for elastic recovery (utils.failure): restored
+        # when this frame's statistics later fail the health check
+        snapshot = (self.knots, self.neigh_velocity, self.T_prev_b2w,
+                    self.prev_timestamp)
         (self.knots, pose_cap, result, self.neigh_velocity,
          flow_kernel_dev, self.last_summaries) = out
         self.T_prev_b2w = pose_cap
@@ -502,7 +620,7 @@ class BlurAwareTracker:
         except (AttributeError, RuntimeError):
             pass
         self._pending = (flow_kernel_dev, pose_cap, cap_time, sharp_img,
-                         depth_map)
+                         depth_map, snapshot)
         self.prev_timestamp = cap_time
         return result
 
@@ -571,10 +689,60 @@ class BlurAwareTracker:
             imgs = jnp.stack(
                 [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
             )
+            pre_chunk = (self.knots, self.neigh_velocity, self.T_prev_b2w,
+                         self.prev_timestamp)
             out = self._submit_chunk(imgs, jnp.asarray(scal, self.dtype))
             host_pack, pose_caps, knots_seq, vel_seq = out
             pack = np.asarray(host_pack)  # ONE device->host fetch per chunk
             stats_np = pack[:, :2]
+            costs_np = pack[:, 2]
+
+            # failure detection (utils.failure): first unhealthy frame in
+            # the chunk is rejected — commit the frames before it, restore
+            # state to the last good frame, emit the last good pose for the
+            # rejected frame, and continue after it
+            bad = -1
+            if cfg.auto_recover:
+                from ..utils.failure import FailureEvent, stats_healthy
+
+                for r in range(c):
+                    ok, reason = stats_healthy(
+                        float(stats_np[r, 0]), float(stats_np[r, 1]),
+                        cfg.max_sane_flow, float(costs_np[r]),
+                    )
+                    if not ok:
+                        bad = r
+                        break
+            if bad >= 0:
+                for r in range(bad):
+                    results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
+                    committed_stats.append(stats_np[r])
+                if bad > 0:
+                    self.knots = jax.tree.map(lambda x: x[bad - 1], knots_seq)
+                    self.neigh_velocity = vel_seq[bad - 1]
+                    self.T_prev_b2w = jax.tree.map(
+                        lambda x: x[bad - 1], pose_caps
+                    )
+                    self.prev_timestamp = float(cap_times[i + bad - 1])
+                else:
+                    (self.knots, self.neigh_velocity, self.T_prev_b2w,
+                     self.prev_timestamp) = pre_chunk
+                # the rejected frame still needs an output slot: repeat the
+                # last good global pose
+                last_good = (
+                    results[-1] if results
+                    else Pose(t=np.asarray(self.T_keyframe.t),
+                              q=np.asarray(self.T_keyframe.q))
+                )
+                results.append(last_good)
+                committed_stats.append(np.array([np.nan, np.nan]))
+                self.failure_log.append(FailureEvent(
+                    cap_time=float(cap_times[i + bad]), reason=reason,
+                    avg_flow=float(stats_np[bad, 0]),
+                    avg_kernel=float(stats_np[bad, 1]),
+                ))
+                i += bad + 1
+                continue
 
             # first frame whose statistics fire the keyframe criterion
             fired = -1
@@ -591,7 +759,7 @@ class BlurAwareTracker:
 
             commit = c if fired < 0 else fired + 1
             for r in range(commit):
-                results.append(Pose(t=pack[r, 2:5], q=pack[r, 5:9]))
+                results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
                 committed_stats.append(stats_np[r])
 
             last = commit - 1
@@ -599,7 +767,7 @@ class BlurAwareTracker:
             # (coarse->fine order matches the single-frame summaries)
             n_lv = cfg.num_pyramid_levels
             self.last_summaries = [
-                (n_lv - 1 - k, int(pack[last, 9 + k])) for k in range(n_lv)
+                (n_lv - 1 - k, int(pack[last, 10 + k])) for k in range(n_lv)
             ]
             self.knots = jax.tree.map(lambda x: x[last], knots_seq)
             self.neigh_velocity = vel_seq[last]
@@ -624,6 +792,88 @@ class BlurAwareTracker:
         self.last_track_stats = (
             np.stack(committed_stats) if committed_stats else None
         )
+        return results
+
+    def track_frames_joint(
+        self,
+        blur_imgs,
+        cap_times,
+        exp_times,
+        chunk: int = 4,
+    ) -> List[Pose]:
+        """Joint multi-frame window tracking (see _track_joint_window_fused):
+        chunks of C frames are optimized as ONE LM problem over a sliding
+        (C + degree - 1)-knot spline window, advanced between chunks by
+        constant-velocity knot extrapolation (PopFront+Insert,
+        Spline.h:146-158). The keyframe stays fixed — this is the
+        reference's <=16-frame / <=16-knot design point
+        (blur_aware_direct_tracker.h:42-47) the per-frame tracker never
+        exercises. Requires: bootstrap via track_frame (first keyframe),
+        uniformly spaced frames, constant exposure.
+
+        Returns the global body-to-world poses of all frames.
+        """
+        cfg = self.cfg
+        if self.is_first_frame:
+            raise RuntimeError("bootstrap the keyframe with track_frame first")
+        n = len(cap_times)
+        dt = (float(cap_times[1]) - float(cap_times[0])) if n > 1 else max(
+            float(exp_times[0]), 1e-3)
+        K = chunk + cfg.spline_degree - 1
+        first = False
+        if (getattr(self, "_joint_knots", None) is None
+                or self._joint_knots.num_knots != K):
+            self._joint_knots = identity_knots(
+                K, t0=float(cap_times[0]) - 0.5 * float(exp_times[0]),
+                dt=dt, dtype=self.dtype,
+            )
+            first = True
+
+        kls = self.keyframe_levels
+        results: List[Pose] = []
+        i = 0
+        while i < n:
+            c = min(chunk, n - i)
+            # pad the tail by repeating the last frame (results discarded;
+            # this is the final chunk so the window state after it is moot)
+            idx = list(range(i, i + c)) + [i + c - 1] * (chunk - c)
+            imgs = jnp.stack(
+                [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
+            )
+            scal = jnp.asarray(
+                [float(cap_times[i]), float(exp_times[i]), dt], self.dtype
+            )
+            kf_args = (
+                tuple(l["img"] for l in kls),
+                tuple(l["grad"] for l in kls),
+                tuple(l["kp_xy"] for l in kls),
+                tuple(l["kp_z"] for l in kls),
+                tuple(l["kp_mask"] for l in kls),
+                self.pattern,
+                self.K0,
+            )
+            static = dict(
+                num_levels=cfg.num_pyramid_levels,
+                num_virtual_poses=cfg.num_virtual_poses,
+                degree=cfg.spline_degree,
+                # a cold multi-frame window's first Gauss-Newton step
+                # routinely overshoots; proper trust-region retry instead of
+                # the reference's terminate-on-reject (see LMOptions)
+                lm_opts=dataclasses.replace(
+                    cfg.lm_options(), retry_rejected_steps=True
+                ),
+                chunk=chunk,
+            )
+            self._joint_knots, _pose_caps, res = _track_joint_window_fused(
+                self._joint_knots, self.T_keyframe, scal, imgs, *kf_args,
+                do_slide=not first, **static,
+            )
+            first = False
+            rt = np.asarray(res.t)
+            rq = np.asarray(res.q)
+            for r in range(c):
+                results.append(Pose(t=rt[r], q=rq[r]))
+            i += c
         return results
 
     def _submit_chunk(self, imgs, scalars):
@@ -709,11 +959,30 @@ class BlurAwareTracker:
         """
         if self._pending is None:
             return False
-        flow_kernel_dev, pose_cap, cap_time, sharp_img, depth_map = self._pending
+        (flow_kernel_dev, pose_cap, cap_time, sharp_img, depth_map,
+         snapshot) = self._pending
         self._pending = None
         cfg = self.cfg
         flow_kernel = np.asarray(flow_kernel_dev)
         avg_flow = float(flow_kernel[0])
+
+        if cfg.auto_recover:
+            from ..utils.failure import FailureEvent, stats_healthy
+
+            ok, reason = stats_healthy(avg_flow, float(flow_kernel[1]),
+                                       cfg.max_sane_flow,
+                                       float(flow_kernel[2]))
+            if not ok:
+                # elastic recovery: reject the frame, restore the pre-frame
+                # state, keep tracking (utils.failure module docstring)
+                (self.knots, self.neigh_velocity, self.T_prev_b2w,
+                 self.prev_timestamp) = snapshot
+                self.failure_log.append(FailureEvent(
+                    cap_time=cap_time, reason=reason,
+                    avg_flow=avg_flow, avg_kernel=float(flow_kernel[1]),
+                ))
+                return True   # callers redo speculative work vs restored state
+
         self.avg_kernel_length = float(flow_kernel[1])
         is_keyframe = (
             avg_flow > cfg.keyframe_max_flow_mag0

@@ -43,11 +43,15 @@ def _backend_state_pytree(backend) -> Dict[str, Any]:
     lm_ids = sorted(backend.landmarks)
     positions = np.zeros((len(lm_ids), 3))
     anchors = np.zeros((len(lm_ids),), np.int64)
+    n_bits = 256
+    descs = np.full((len(lm_ids), n_bits), np.nan, np.float32)
     obs_rows, obs_kf, obs_xy = [], [], []
     for row, lid in enumerate(lm_ids):
         lm = backend.landmarks[lid]
         positions[row] = lm.position
         anchors[row] = lm.anchor
+        if lm.desc is not None:
+            descs[row] = lm.desc
         for k, xy in lm.obs.items():
             obs_rows.append(row)
             obs_kf.append(k)
@@ -61,6 +65,7 @@ def _backend_state_pytree(backend) -> Dict[str, Any]:
         state["landmark_ids"] = np.asarray(lm_ids, np.int64)
         state["landmark_pos"] = positions
         state["landmark_anchor"] = anchors
+        state["landmark_desc"] = descs
     if obs_rows:
         state["obs_row"] = np.asarray(obs_rows, np.int64)
         state["obs_kf"] = np.asarray(obs_kf, np.int64)
@@ -98,8 +103,14 @@ def _restore_backend_state(backend, state: Dict[str, Any]) -> None:
     if lm_ids.size:
         pos = np.asarray(state["landmark_pos"])
         anchor = np.asarray(state["landmark_anchor"])
+        descs = state.get("landmark_desc")
         for row, lid in enumerate(lm_ids):
-            backend.landmarks[int(lid)] = _Landmark(pos[row], int(anchor[row]))
+            desc = None
+            if descs is not None and np.isfinite(descs[row][0]):
+                desc = np.asarray(descs[row])
+            backend.landmarks[int(lid)] = _Landmark(
+                pos[row], int(anchor[row]), desc=desc
+            )
     if "obs_row" in state and state["obs_row"] is not None:
         rows = np.asarray(state["obs_row"])
         kfs = np.asarray(state["obs_kf"])
