@@ -280,9 +280,26 @@ def compute_residuals(
     return r, J, valid
 
 
+def prepare_window_cache(
+    data: TrackingLevelData, window: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(windows [N,3,wh,ww], starts [N,2]) for the windowed sampling path.
+
+    Windows are centered on the KEYFRAME keypoint positions — constant for
+    a whole pyramid level — so the LM loop hoists this one call out of its
+    while_loop instead of re-extracting every iteration (measured 609 us
+    per call at 512 kp / VGA on chip; XLA does not loop-invariant-hoist it
+    on its own). Passing the result as ``cache`` to compute_rjv/evaluate is
+    bit-identical to not passing it.
+    """
+    chans = stack_image_channels(data.img_ref, data.grad_ref)
+    windows, starts = extract_windows(chans, data.kp_xy, window)
+    return jax.lax.stop_gradient(windows), starts
+
+
 def compute_residuals_windowed(
     knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
-    with_jacobian: bool, window: int = 32,
+    with_jacobian: bool, window: int = 32, cache=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Gather-free variant of :func:`compute_residuals`.
 
@@ -314,9 +331,9 @@ def compute_residuals_windowed(
     valid_center = in_bounds(pix, H, W) & (data.kp_mask[None, :, None] > 0)
     obs = _current_intensity(data.cur_imgs, pix)
 
-    chans = stack_image_channels(data.img_ref, data.grad_ref)
-    windows, starts = extract_windows(chans, data.kp_xy, window)  # [N,3,w,w]
-    windows = jax.lax.stop_gradient(windows)
+    if cache is None:
+        cache = prepare_window_cache(data, window)
+    windows, starts = cache                               # [N,3,wh,ww], [N,2]
     starts_f = starts.astype(dtype)
 
     def residuals_of(delta: jnp.ndarray) -> jnp.ndarray:
@@ -381,6 +398,7 @@ def compute_rjv(
     with_jacobian: bool,
     sampling: str = "direct",
     window: int = 32,
+    cache=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Residuals r [F,N,P], Jacobian J [F,N,P,6K] (or None), valid mask.
 
@@ -392,7 +410,7 @@ def compute_rjv(
     :833-903, because its arena layout couples evaluation and reduction)."""
     if sampling == "windowed":
         return compute_residuals_windowed(
-            knots, data, num_vir, degree, with_jacobian, window
+            knots, data, num_vir, degree, with_jacobian, window, cache=cache
         )
     return compute_residuals(knots, data, num_vir, degree, with_jacobian)
 
@@ -511,6 +529,7 @@ def evaluate(
     window: int = 32,
     precision: str = "default",
     compensated: bool = False,
+    cache=None,
 ) -> Evaluation:
     """Full objective evaluation: cost (+ gradient + Gauss-Newton Hessian).
 
@@ -533,7 +552,8 @@ def evaluate(
     (merge_hessian_gradient_cost.cpp). patch_costs stay shard-local.
     """
     r, J, _valid = compute_rjv(
-        knots, data, num_vir, degree, with_jacobian, sampling, window
+        knots, data, num_vir, degree, with_jacobian, sampling, window,
+        cache=cache,
     )
     return assemble(r, J, data, huber_a, outlier_mask, axis_name,
                     precision=precision, compensated=compensated)

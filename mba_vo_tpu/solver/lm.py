@@ -46,6 +46,7 @@ from ..ops.residual import (
     assemble,
     compute_rjv,
     evaluate,
+    prepare_window_cache,
 )
 
 
@@ -280,10 +281,16 @@ def optimize_level(
             (6 * knots.num_knots, 6 * knots.num_knots), dtype
         )
 
+    # windowed-sampling cache: keyframe windows are level-constant, so ONE
+    # extraction serves every iteration of the loop below (ops.residual.
+    # prepare_window_cache; XLA does not hoist it out of the while_loop)
+    cache = (prepare_window_cache(data, opts.window)
+             if opts.sampling == "windowed" else None)
+
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
                    axis_name=axis_name, sampling=opts.sampling,
                    window=opts.window, precision=opts.precision,
-                   compensated=opts.compensated_sum)
+                   compensated=opts.compensated_sum, cache=cache)
     cp0, gp0, Hp0 = prior(knots)
 
     state0 = _LMState(
@@ -340,7 +347,7 @@ def optimize_level(
             # conditioning), gate the Jacobian on a cost-only probe here.
             r, J, _valid = compute_rjv(
                 cand, data, num_vir, degree, True,
-                sampling=opts.sampling, window=opts.window,
+                sampling=opts.sampling, window=opts.window, cache=cache,
             )
             ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
                             axis_name=axis_name, precision=opts.precision,
