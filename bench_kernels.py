@@ -152,22 +152,31 @@ def main():
         )
         mask = jnp.ones((n_kp,), jnp.float32)
 
+        cache = res.prepare_window_cache(data, 32)
+
         def chained(knots, data, with_jacobian, sampling):
+            use_cache = sampling == "windowed_cached"
+
             def body(carry, eps):
                 k = spline_retract(
                     knots,
                     jnp.zeros((2, 3), jnp.float32) + eps * 1e-9,
                     jnp.zeros((2, 3), jnp.float32),
                 )
-                ev = res.evaluate(k, data, num_vir, DEG, 20.0, mask,
-                                  with_jacobian, sampling=sampling, window=32)
+                ev = res.evaluate(
+                    k, data, num_vir, DEG, 20.0, mask, with_jacobian,
+                    sampling="windowed" if use_cache else sampling,
+                    window=32, cache=cache if use_cache else None,
+                )
                 out = ev.cost if not with_jacobian else ev.cost + ev.hessian[0, 0]
                 return carry + out, None
 
             total, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(REPS, dtype=jnp.float32))
             return total
 
-        for sampling in ("direct", "windowed"):
+        # windowed_cached = the production LM-loop configuration (window
+        # extraction hoisted out of the iteration, ops.residual cache)
+        for sampling in ("direct", "windowed", "windowed_cached"):
             for wj in (False, True):
                 f = jax.jit(chained, static_argnums=(2, 3))
                 out = f(knots, data, wj, sampling)

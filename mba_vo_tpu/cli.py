@@ -54,6 +54,19 @@ def _build_arg_parser() -> argparse.ArgumentParser:
                    help="frames per device dispatch (>1 = chunked lax.scan "
                         "tracking; amortizes dispatch latency, ~5x faster "
                         "on remote-attached TPUs)")
+    t.add_argument("--distortion",
+                   help="k1,k2,p1,p2 radial-tangential coefficients of the "
+                        "input images; every frame (and depth map) is "
+                        "undistorted to the pinhole model before tracking "
+                        "(reference Undistort.{h,cpp} cv::remap pipeline)")
+    t.add_argument("--camera-model", choices=["pinhole", "unified"],
+                   default="pinhole",
+                   help="input camera model; 'unified' (omnidirectional, "
+                        "reference CameraUnified) remaps frames to the "
+                        "pinhole view given --xi")
+    t.add_argument("--xi", type=float, default=0.0,
+                   help="unified-model mirror parameter (with "
+                        "--camera-model unified)")
     t.add_argument("--backend", choices=["none", "ba", "ba+pg"],
                    default="none",
                    help="keyframe backend: 'ba' = sliding-window Schur BA "
@@ -150,6 +163,38 @@ def cmd_track(args) -> int:
     first = ds.load_gray_image(image_paths[0])
     H, W = first.shape
 
+    undistort = None
+    if args.distortion or args.camera_model != "pinhole":
+        import jax
+        import jax.numpy as jnp
+
+        from .models.camera import (
+            PinholeCamera,
+            RadTanDistortion,
+            UnifiedCamera,
+        )
+        from .ops.image import build_undistort_map, remap
+
+        dist = None
+        if args.distortion:
+            k1, k2, p1, p2 = (float(x) for x in args.distortion.split(","))
+            dist = RadTanDistortion(
+                jnp.float32(k1), jnp.float32(k2), jnp.float32(p1),
+                jnp.float32(p2),
+            )
+        Kf = jnp.asarray(K, jnp.float32)
+        if args.camera_model == "unified":
+            src_cam = UnifiedCamera(K=Kf, xi=jnp.float32(args.xi), height=H,
+                                    width=W, distortion=dist)
+        else:
+            src_cam = PinholeCamera(K=Kf, height=H, width=W, distortion=dist)
+        dst_cam = PinholeCamera(K=Kf, height=H, width=W)
+        umap = build_undistort_map(src_cam, dst_cam)   # built ONCE
+        _remap = jax.jit(lambda im: remap(jnp.asarray(im, jnp.float32), umap))
+
+        def undistort(im):
+            return np.asarray(_remap(im)) if im is not None else None
+
     cfg = (
         load_tracker_config(args.config) if args.config else TrackerConfig()
     )
@@ -175,22 +220,29 @@ def cmd_track(args) -> int:
         start_idx = meta["next_frame"]
         print(f"resumed at frame {start_idx}")
 
+    def load_image(i):
+        img = ds.load_gray_image(image_paths[i])
+        return undistort(img) if undistort else img
+
     def load_depth(i):
         if not depth_paths:
             return None
         path = depth_paths[i]
         if args.dataset_type == "unreal":
-            return ds.load_depth(path, "unreal", K, H, W)
-        if args.dataset_type == "eth3d":
-            return ds.load_depth(path, "eth3d")
-        return np.load(path)
+            d = ds.load_depth(path, "unreal", K, H, W)
+        elif args.dataset_type == "eth3d":
+            d = ds.load_depth(path, "eth3d")
+        else:
+            d = np.load(path)
+        return undistort(d) if undistort else d
 
     def load_sharp(i, blurred):
         """Keyframe-candidate sharp image: --sharp-images when given, else
         the tracked frame itself (reference dataset contract:
         blur_aware_direct_tracker.cpp:373-386 expects a sharp keyframe)."""
         if sharp_paths:
-            return ds.load_gray_image(sharp_paths[i])
+            img = ds.load_gray_image(sharp_paths[i])
+            return undistort(img) if undistort else img
         return blurred
 
     def frame_meta(i):
@@ -232,7 +284,7 @@ def cmd_track(args) -> int:
         if chunk == 1 or tracker.is_first_frame:
             c = 1
             cap, exp = frame_meta(i)
-            img = ds.load_gray_image(image_paths[i])
+            img = load_image(i)
             depth = load_depth(i)
             pose = tracker.track_frame(load_sharp(i, img), img, cap, exp, depth)
             record(i, cap, pose)
@@ -241,7 +293,7 @@ def cmd_track(args) -> int:
             c = min(chunk, n - i)
             idx = list(range(i, i + c))
             metas = [frame_meta(j) for j in idx]
-            imgs = [ds.load_gray_image(image_paths[j]) for j in idx]
+            imgs = [load_image(j) for j in idx]
             depths = [load_depth(j) for j in idx]
             sharps = [load_sharp(j, imgs[r]) for r, j in enumerate(idx)]
             poses = tracker.track_frames(

@@ -133,3 +133,44 @@ class TestCliEth3dEndToEnd:
         ate = _track(eth3d_fixture, "est_backend.txt", chunk=1,
                      extra=("--backend", "ba", "--backend-window", "4"))
         assert ate < 5e-3, ate
+
+    def test_distortion_undistorts_before_tracking(self, eth3d_fixture,
+                                                   tmp_path):
+        """Rad-tan-distorted copies of the fixture tracked with
+        --distortion must recover the same trajectory — the reference's
+        Undistort.{h,cpp} remap pipeline reachable from the CLI."""
+        import jax.numpy as jnp
+
+        from mba_vo_tpu.models.camera import PinholeCamera, RadTanDistortion
+        from mba_vo_tpu.ops.image import build_undistort_map, remap
+
+        root = eth3d_fixture
+        dist_coeffs = (-0.12, 0.04, 0.001, -0.002)
+        dist = RadTanDistortion(*(jnp.float32(c) for c in dist_coeffs))
+        clean_cam = PinholeCamera(K=jnp.asarray(KVEC, jnp.float32),
+                                  height=H, width=W)
+        dist_cam = clean_cam._replace(distortion=dist)
+        # distorted image: for each distorted pixel, sample the clean image
+        # at the pinhole projection of the (iteratively undistorted) ray
+        dmap = build_undistort_map(clean_cam, dist_cam)
+
+        droot = tmp_path / "distorted"
+        for sub in ("images", "sharp"):
+            os.makedirs(droot / sub)
+            for p in sorted((root / sub).iterdir()):
+                img = ds.load_gray_image(str(p))
+                out = np.asarray(remap(jnp.asarray(img, jnp.float32), dmap))
+                PILImage.fromarray(
+                    np.clip(out, 0, 255).astype(np.uint8)
+                ).save(droot / sub / p.name)
+        # depth: plane depth is near-constant; reuse the originals
+        (droot / "depths").symlink_to(root / "depths")
+        for name in ("times.txt", "groundtruth.txt", "config.json"):
+            (droot / name).symlink_to(root / name)
+
+        # '=' form: a leading minus in the value would otherwise parse as
+        # an option flag
+        ate = _track(droot, "est_dist.txt", chunk=1,
+                     extra=("--distortion=" + ",".join(map(str, dist_coeffs)),))
+        # border truncation + double resampling raise the floor slightly
+        assert ate < 8e-3, ate
