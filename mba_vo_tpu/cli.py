@@ -75,6 +75,10 @@ def _build_arg_parser() -> argparse.ArgumentParser:
                         "relaxes the chain with a pose graph")
     t.add_argument("--backend-window", type=int, default=7,
                    help="BA window size in keyframes (BASELINE config 4)")
+    t.add_argument("--viz-dir",
+                   help="write per-frame overlay PNGs (tracked keypoints + "
+                        "estimated blur-kernel polylines, the reference's "
+                        "drawCurrFrameKeypoints GUI output, headless)")
 
     s = sub.add_parser("synth", help="generate a synthetic blurred sequence")
     s.add_argument("--output", required=True, help="output directory")
@@ -265,6 +269,28 @@ def cmd_track(args) -> int:
             + np.array2string(np.asarray(pose.t), precision=4)
             + f" kernel={kernel:.2f}px"
         )
+        if args.viz_dir and tracker.keyframe_levels and tracker.knots is not None:
+            # keypoint + estimated blur-kernel overlay on the tracked frame
+            # (reference drawCurrFrameKeypoints, with_gui hooks —
+            # blur_aware_direct_tracker.cpp:436-491, headless PNGs here)
+            from .utils import viz
+
+            os.makedirs(args.viz_dir, exist_ok=True)
+            kf0 = tracker.keyframe_levels[0]
+            m = np.asarray(kf0["kp_mask"]) > 0
+            segs = viz.blur_kernel_segments(
+                tracker.knots, np.asarray(kf0["kp_xy"])[m],
+                np.asarray(kf0["kp_z"])[m], K, cap,
+                frame_meta(i)[1], cfg.spline_degree,
+            )
+            img = viz.to_rgb(ds.load_gray_image(image_paths[i]))
+            img = viz.draw_segments(img, segs, color=(64, 220, 64))
+            ends = np.stack([s[len(s) // 2] for s in segs]) if segs else None
+            if ends is not None:
+                img = viz.draw_points(img, ends, color=(255, 64, 64))
+            viz.save_png(
+                os.path.join(args.viz_dir, f"frame_{i:05d}.png"), img
+            )
 
     def checkpoint(next_frame):
         # resolve any deferred keyframe decision first: _pending is not part

@@ -119,9 +119,14 @@ def _track(root, out_name, chunk, extra=()):
 
 class TestCliEth3dEndToEnd:
     def test_single_frame_dispatch(self, eth3d_fixture):
-        ate = _track(eth3d_fixture, "est_single.txt", chunk=1)
+        viz_dir = eth3d_fixture / "viz"
+        ate = _track(eth3d_fixture, "est_single.txt", chunk=1,
+                     extra=("--viz-dir", str(viz_dir)))
         # 8-bit image quantization + 16-bit depth rounding floor the accuracy
         assert ate < 5e-3, ate
+        # overlay PNGs written for the tracked (non-bootstrap) frames
+        pngs = sorted(viz_dir.glob("frame_*.png"))
+        assert len(pngs) >= N_FRAMES, pngs
 
     def test_chunked_dispatch_matches(self, eth3d_fixture):
         ate1 = _track(eth3d_fixture, "est_single.txt", chunk=1)
