@@ -45,7 +45,7 @@ def main():
     vel_w = np.array([0.02, 0.05, -0.08])
     kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
     q = kq[0]
-    n_frames = 36
+    n_frames = 72
     for _ in range(1, n_frames + 4):
         kt.append(kt[-1] + vel_t * FRAME_DT)
         q = np.asarray(
@@ -99,18 +99,21 @@ def main():
     ]
 
     # warmup (compile all three pyramid levels + the chunked scan)
-    CHUNK = 12
+    CHUNK, INFLIGHT = 12, 3
     caps = [cap for cap, _ in frames]
     imgs = [blurred for _, blurred in frames]
     exps = [EXPOSURE] * len(frames)
     est = tracker.track_frames(imgs[:CHUNK], caps[:CHUNK], exps[:CHUNK],
-                               chunk=CHUNK)
+                               chunk=CHUNK, inflight=INFLIGHT)
     jax.block_until_ready(est[-1].t)
 
+    # steady state: 5 full chunks with INFLIGHT dispatches speculatively in
+    # flight, so per-chunk stats fetches overlap device compute
     timed = frames[CHUNK:]
     t0 = time.time()
     est = tracker.track_frames(
-        imgs[CHUNK:], caps[CHUNK:], exps[CHUNK:], chunk=CHUNK
+        imgs[CHUNK:], caps[CHUNK:], exps[CHUNK:], chunk=CHUNK,
+        inflight=INFLIGHT,
     )
     jax.block_until_ready(est[-1].t)
     wall = time.time() - t0

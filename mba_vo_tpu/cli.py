@@ -54,6 +54,9 @@ def _build_arg_parser() -> argparse.ArgumentParser:
                    help="frames per device dispatch (>1 = chunked lax.scan "
                         "tracking; amortizes dispatch latency, ~5x faster "
                         "on remote-attached TPUs)")
+    t.add_argument("--inflight", type=int, default=2,
+                   help="chunk dispatches kept speculatively in flight "
+                        "(cross-chunk pipelining; 1 = strictly sequential)")
     t.add_argument("--distortion",
                    help="k1,k2,p1,p2 radial-tangential coefficients of the "
                         "input images; every frame (and depth map) is "
@@ -118,15 +121,27 @@ def cmd_track(args) -> int:
     if args.max_frames:
         image_paths = image_paths[: args.max_frames]
 
-    depth_paths = (
-        ds.list_image_folder(args.depths)
-        if args.depths and args.dataset_type == "eth3d"
-        else sorted(
-            os.path.join(args.depths, f) for f in os.listdir(args.depths)
-        )
-        if args.depths
-        else []
-    )
+    if args.depths:
+        if args.dataset_type == "eth3d":
+            # 16-bit PNG depth maps per the reference contract
+            # (blur_aware_direct_tracker.cpp:379-386), plus raw .npy dumps —
+            # the `synth` command writes .npy, so synth -> track must work
+            names = sorted(os.listdir(args.depths))
+            depth_paths = [
+                os.path.join(args.depths, f) for f in names
+                if f.lower().endswith(ds.IMAGE_EXTENSIONS + (".npy",))
+            ]
+        else:
+            depth_paths = sorted(
+                os.path.join(args.depths, f) for f in os.listdir(args.depths)
+            )
+        if not depth_paths:
+            # silently tracking depth-less (map-less keyframes) when the
+            # user pointed at a depth folder would be a confusing crash later
+            print(f"no depth maps found in {args.depths}", file=sys.stderr)
+            return 2
+    else:
+        depth_paths = []
     if depth_paths and len(depth_paths) < len(image_paths):
         # a silent reuse of the last depth map would corrupt every keyframe
         # after the mismatch point — fail loudly instead
@@ -232,7 +247,9 @@ def cmd_track(args) -> int:
         if not depth_paths:
             return None
         path = depth_paths[i]
-        if args.dataset_type == "unreal":
+        if path.lower().endswith(".npy"):
+            d = np.load(path)
+        elif args.dataset_type == "unreal":
             d = ds.load_depth(path, "unreal", K, H, W)
         elif args.dataset_type == "eth3d":
             d = ds.load_depth(path, "eth3d")
@@ -316,7 +333,14 @@ def cmd_track(args) -> int:
             record(i, cap, pose)
             i += 1
         else:
-            c = min(chunk, n - i)
+            # hand track_frames MANY chunks at once so its cross-chunk
+            # speculation pipeline stays full (inflight dispatches overlap
+            # the per-chunk stats fetch); a checkpoint cadence caps the
+            # batch so checkpoints stay near the requested granularity
+            c = n - i
+            if args.checkpoint_every:
+                c = min(c, max(args.checkpoint_every - since_ckpt, chunk))
+            c = min(c, chunk * 8)
             idx = list(range(i, i + c))
             metas = [frame_meta(j) for j in idx]
             imgs = [load_image(j) for j in idx]
@@ -325,6 +349,7 @@ def cmd_track(args) -> int:
             poses = tracker.track_frames(
                 imgs, [m[0] for m in metas], [m[1] for m in metas],
                 sharp_imgs=sharps, depth_maps=depths, chunk=chunk,
+                inflight=max(1, args.inflight),
             )
             stats = tracker.last_track_stats
             for r, pose in enumerate(poses):

@@ -528,6 +528,12 @@ class BlurAwareTracker:
     def process_keyframe(self, sharp_img: np.ndarray, depth_map: np.ndarray):
         """Pyramids + gradients + semi-dense detection + depth ingestion
         (reference tmpProcessKeyframe, blur_aware_direct_tracker.cpp:344-416)."""
+        if sharp_img is None or depth_map is None:
+            raise ValueError(
+                "keyframe processing needs a sharp image and a depth map "
+                "(reference tmpProcessKeyframe contract, "
+                "blur_aware_direct_tracker.cpp:344-416)"
+            )
         img0 = jnp.asarray(sharp_img, self.dtype)
         depth = np.asarray(depth_map)
         pyramid = image_pyramid(img0, self.cfg.num_pyramid_levels)

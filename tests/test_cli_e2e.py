@@ -179,3 +179,62 @@ class TestCliEth3dEndToEnd:
                      extra=("--distortion=" + ",".join(map(str, dist_coeffs)),))
         # border truncation + double resampling raise the floor slightly
         assert ate < 8e-3, ate
+
+
+class TestSynthToTrackContract:
+    def test_synth_output_tracks_directly(self, tmp_path):
+        """`cli synth` output must feed straight into `cli track`: the synth
+        command writes .npy depth maps, which the eth3d depth listing must
+        accept (regression: they were silently dropped and the tracker then
+        crashed on a missing keyframe depth)."""
+        root = tmp_path / "seq"
+        rc = cli.main([
+            "synth", "--output", str(root), "--num-frames", "3",
+            "--height", "64", "--width", "96", "--num-samples", "7",
+        ])
+        assert rc == 0
+        (root / "config.json").write_text(json.dumps({
+            "num_pyramid_levels": 2,
+            "num_virtual_poses": [5, 5],
+            "huber_a": 10.0,
+            "keyframe_max_flow_mag0": 1e9,
+            "keyframe_max_flow_mag1": 1e9,
+            "detector": {"score_threshold": 5.0, "cell_h": 12, "cell_w": 12,
+                         "max_keypoints": 256},
+            "dtype": "float64",
+        }))
+        intr = (root / "intrinsics.txt").read_text().strip()
+        rc = cli.main([
+            "track",
+            "--images", str(root / "images"),
+            "--depths", str(root / "depths"),
+            "--dataset-type", "eth3d",
+            "--times", str(root / "times.txt"),
+            "--intrinsics", intr,
+            "--output", str(root / "est.txt"),
+            "--chunk", "2", "--inflight", "2",
+            "--config", str(root / "config.json"),
+        ])
+        assert rc == 0
+        _, est_t, _ = ds.load_tum_trajectory(str(root / "est.txt"))
+        _, ref_t, _ = ds.load_tum_trajectory(str(root / "groundtruth.txt"))
+        n = min(len(est_t), len(ref_t))
+        err = np.linalg.norm(est_t[:n] - ref_t[:n], axis=1)
+        ate = float(np.sqrt(np.mean(err ** 2)))
+        # blurred keyframe reuse (no --sharp-images) + 8-bit quantization
+        # keep this a sanity bound, not an accuracy bound
+        assert ate < 2e-2, ate
+
+    def test_empty_depth_folder_fails_loudly(self, tmp_path, eth3d_fixture):
+        empty = tmp_path / "empty_depths"
+        os.makedirs(empty)
+        rc = cli.main([
+            "track",
+            "--images", str(eth3d_fixture / "images"),
+            "--depths", str(empty),
+            "--dataset-type", "eth3d",
+            "--times", str(eth3d_fixture / "times.txt"),
+            "--intrinsics", ",".join(str(v) for v in KVEC),
+            "--output", str(tmp_path / "est.txt"),
+        ])
+        assert rc == 2
