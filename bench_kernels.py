@@ -224,9 +224,12 @@ def main():
                 "are a utilization ceiling, not a target.",
                 "r01->r02 tracked-fps regression (99.9 -> 89.9): bench.py "
                 "wall time over the remote-attached chip includes tunnel "
-                "dispatch latency; r03 adds compile-cache fixes in the "
-                "sharded wrappers and this artifact pins per-op device "
-                "times so future regressions attribute to a section.",
+                "dispatch latency (~5-7 ms per individual op dispatch, "
+                "measured). r03 removed it structurally: the chunk program "
+                "returns its final scan carry so no per-chunk slice ops "
+                "remain, and track_frames keeps multiple chunk dispatches "
+                "speculatively in flight (199.3 fps steady-state, 94% of "
+                "the pure device-compute rate).",
             ],
             "records": records,
         }

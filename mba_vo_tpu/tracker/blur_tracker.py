@@ -905,6 +905,21 @@ class BlurAwareTracker:
 
         kls = self.keyframe_levels
         results: List[Pose] = []
+        # unlike track_frames there is NO host decision between chunks (the
+        # keyframe is fixed, the knot-window carry is pure device state), so
+        # chunks pipeline unconditionally: keep a few dispatches in flight
+        # and drain result fetches behind them, hiding the per-dispatch link
+        # round-trip completely
+        in_flight: deque = deque()
+        max_in_flight = 3
+
+        def drain_one():
+            c0, res0 = in_flight.popleft()
+            rt = np.asarray(res0.t)
+            rq = np.asarray(res0.q)
+            for r in range(c0):
+                results.append(Pose(t=rt[r], q=rq[r]))
+
         i = 0
         while i < n:
             c = min(chunk, n - i)
@@ -943,11 +958,12 @@ class BlurAwareTracker:
                 do_slide=not first, **static,
             )
             first = False
-            rt = np.asarray(res.t)
-            rq = np.asarray(res.q)
-            for r in range(c):
-                results.append(Pose(t=rt[r], q=rq[r]))
+            in_flight.append((c, res))
+            if len(in_flight) >= max_in_flight:
+                drain_one()
             i += c
+        while in_flight:
+            drain_one()
         return results
 
     def _submit_chunk(self, imgs, scalars):
