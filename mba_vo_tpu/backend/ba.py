@@ -209,9 +209,13 @@ def build_normal_equations(problem: BAProblem, huber_a: float, axis_name=None):
     g_x = jnp.einsum("wmia,wm,wmi->ma", Jx, wgt, r)
 
     # odometry prior terms are pose-indexed -> computed replicated (identical
-    # on every shard), added AFTER the psum so they count exactly once
-    c_o, g_o, H_o = _odom_terms(problem.poses, problem.odom, 1.0 / n)
-    return cost + c_o, U, V, Wb, g_p + g_o, g_x, H_o, mask
+    # on every shard), added AFTER the psum so they count exactly once.
+    # g_o/H_o stay UNNORMALIZED like the raw-sum reprojection terms (U, g_p):
+    # the GN step must optimize the same relative weighting as the
+    # (uniformly 1/n-scaled) cost used for step acceptance — normalizing
+    # only the prior would shrink its effective weight to odom_weight/n
+    c_o, g_o, H_o = _odom_terms(problem.poses, problem.odom, 1.0)
+    return cost + c_o / n, U, V, Wb, g_p + g_o, g_x, H_o, mask
 
 
 def evaluate_cost(problem: BAProblem, huber_a: float, axis_name=None):

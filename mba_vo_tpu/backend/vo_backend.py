@@ -358,7 +358,7 @@ class VOBackend:
         d_raw = np.linalg.norm(tgt - prev.kp_np, axis=-1)
         ok = np.where(
             has_3d,
-            d_pred <= cfg.max_match_radius,
+            (d_pred <= cfg.max_match_radius) | (cfg.max_match_radius <= 0),
             (d_raw <= cfg.raw_match_radius) | (cfg.raw_match_radius <= 0),
         )
         match_idx[~(matched & ok)] = -1
@@ -437,7 +437,8 @@ class VOBackend:
         drops them."""
         import sys
 
-        sys.path.insert(0, _RUNTIME_DIR)
+        if _RUNTIME_DIR not in sys.path:
+            sys.path.insert(0, _RUNTIME_DIR)
         from bindings import KDTree2D
 
         cfg = self.cfg
@@ -592,7 +593,7 @@ class VOBackend:
                 max_hamming=cfg.max_hamming, ratio=cfg.match_ratio,
             )
             match_idx = np.asarray(match_idx)
-            pts_i, obs, mask = [], [], []
+            pts_i, obs = [], []
             for a, b in enumerate(match_idx):
                 if b < 0:
                     continue
@@ -611,7 +612,6 @@ class VOBackend:
                 # express in keyframe i's local frame (drift-independent)
                 pts_i.append(_world_to_cam_points(old.pose, X_w[None])[0])
                 obs.append(cur.kp_np[b])
-                mask.append(1.0)
             if len(pts_i) < cfg.loop_min_matches:
                 continue
             n_fix = 256  # static PnP problem size (jit cache friendly)
@@ -707,3 +707,14 @@ class VOBackend:
             new = self.keyframes[k].pose
             X_local = _world_to_cam_points(old, lm.position[None])
             lm.position = _transform_points(new, X_local)[0]
+
+        # re-measure the consecutive-edge priors from the CORRECTED chain:
+        # the loop closure just established better relative estimates than
+        # the raw odometry — if the BA odometry priors kept the old
+        # measurements, the next window BA (prior weight >> reprojection)
+        # would pull the chain straight back and undo the correction
+        for r in range(1, len(nodes)):
+            a, b = nodes[r - 1], nodes[r]
+            self.keyframes[b].odom_rel_prev = _rel_pose(
+                self.keyframes[a].pose, self.keyframes[b].pose
+            )

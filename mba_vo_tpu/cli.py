@@ -210,9 +210,21 @@ def cmd_track(args) -> int:
         dst_cam = PinholeCamera(K=Kf, height=H, width=W)
         umap = build_undistort_map(src_cam, dst_cam)   # built ONCE
         _remap = jax.jit(lambda im: remap(jnp.asarray(im, jnp.float32), umap))
+        # depth must NOT be bilinearly interpolated: blending across an
+        # occlusion boundary invents 3D points that exist nowhere in the
+        # scene. Rounding the map to integer source pixels makes the
+        # bilinear weights exact one-hots = nearest-neighbor sampling
+        _remap_nn = jax.jit(
+            lambda im: remap(jnp.asarray(im, jnp.float32), jnp.round(umap))
+        )
 
         def undistort(im):
             return np.asarray(_remap(im)) if im is not None else None
+
+        def undistort_depth(im):
+            return np.asarray(_remap_nn(im)) if im is not None else None
+    else:
+        undistort_depth = None
 
     cfg = (
         load_tracker_config(args.config) if args.config else TrackerConfig()
@@ -255,7 +267,7 @@ def cmd_track(args) -> int:
             d = ds.load_depth(path, "eth3d")
         else:
             d = np.load(path)
-        return undistort(d) if undistort else d
+        return undistort_depth(d) if undistort_depth else d
 
     def load_sharp(i, blurred):
         """Keyframe-candidate sharp image: --sharp-images when given, else
@@ -289,7 +301,19 @@ def cmd_track(args) -> int:
         if args.viz_dir and tracker.keyframe_levels and tracker.knots is not None:
             # keypoint + estimated blur-kernel overlay on the tracked frame
             # (reference drawCurrFrameKeypoints, with_gui hooks —
-            # blur_aware_direct_tracker.cpp:436-491, headless PNGs here)
+            # blur_aware_direct_tracker.cpp:436-491, headless PNGs here).
+            # The live knot window only describes the LAST tracked frame: in
+            # chunked mode earlier frames of a batch would be rendered from
+            # a spline evaluated far outside its window — skip those instead
+            # of writing extrapolated-garbage overlays
+            exp_i = frame_meta(i)[1]
+            t0 = float(tracker.knots.t0)
+            t_end = t0 + float(tracker.knots.dt) * (
+                tracker.knots.num_knots - 1
+            )
+            if not (t0 - 1e-9 <= cap - 0.5 * exp_i
+                    and cap + 0.5 * exp_i <= t_end + 1e-9):
+                return
             from .utils import viz
 
             os.makedirs(args.viz_dir, exist_ok=True)
@@ -329,7 +353,18 @@ def cmd_track(args) -> int:
             cap, exp = frame_meta(i)
             img = load_image(i)
             depth = load_depth(i)
+            n_fail = len(tracker.failure_log)
             pose = tracker.track_frame(load_sharp(i, img), img, cap, exp, depth)
+            if len(tracker.failure_log) > n_fail and out_t:
+                # the deferred health check (flush inside this call) just
+                # rejected the PREVIOUS frame: its already-recorded pose is
+                # the diverged one. Substitute the last good pose, matching
+                # what the chunked path emits for a rejected frame
+                good = -2 if len(out_t) >= 2 else None
+                out_t[-1] = (out_t[good].copy() if good
+                             else np.asarray(tracker.T_keyframe.t))
+                out_q[-1] = (out_q[good].copy() if good
+                             else np.asarray(tracker.T_keyframe.q))
             record(i, cap, pose)
             i += 1
         else:
@@ -360,6 +395,14 @@ def cmd_track(args) -> int:
         if args.checkpoint_every and since_ckpt >= args.checkpoint_every:
             checkpoint(i)
             since_ckpt = 0
+
+    # the final frame's deferred decision: if its health check rejects it,
+    # substitute the last good pose before writing the trajectory
+    n_fail = len(tracker.failure_log)
+    tracker.flush()
+    if len(tracker.failure_log) > n_fail and len(out_t) >= 2:
+        out_t[-1] = out_t[-2].copy()
+        out_q[-1] = out_q[-2].copy()
 
     ds.save_tum_trajectory(
         args.output, np.asarray(out_times), np.asarray(out_t), np.asarray(out_q)

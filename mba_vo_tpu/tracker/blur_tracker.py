@@ -779,7 +779,27 @@ class BlurAwareTracker:
                     if not ok:
                         bad = r
                         break
-            if bad >= 0:
+            # first frame whose statistics fire the keyframe criterion;
+            # frames at/after an earlier failure are about to be re-tracked,
+            # so only scan up to it. Sequential event priority (flush): for
+            # the SAME frame the health check runs first, so a tie goes to
+            # the failure; an earlier keyframe beats a later failure (the
+            # unhealthy frame then re-tracks against the new keyframe,
+            # exactly like the per-frame path)
+            fired = -1
+            scan_end = c if bad < 0 else bad
+            for r in range(scan_end):
+                flow, kern = float(stats_np[r, 0]), float(stats_np[r, 1])
+                is_kf = (
+                    flow > cfg.keyframe_max_flow_mag0
+                    and kern < cfg.keyframe_max_blur_kernel_mag
+                ) or flow > cfg.keyframe_max_flow_mag1
+                j = i + r
+                if is_kf and get_sharp(j) is not None and get_depth(j) is not None:
+                    fired = r
+                    break
+
+            if bad >= 0 and fired < 0:
                 for r in range(bad):
                     results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
                     committed_stats.append(stats_np[r])
@@ -812,19 +832,6 @@ class BlurAwareTracker:
                 pending.clear()
                 i_next = i + bad + 1
                 continue
-
-            # first frame whose statistics fire the keyframe criterion
-            fired = -1
-            for r in range(c):
-                flow, kern = float(stats_np[r, 0]), float(stats_np[r, 1])
-                is_kf = (
-                    flow > cfg.keyframe_max_flow_mag0
-                    and kern < cfg.keyframe_max_blur_kernel_mag
-                ) or flow > cfg.keyframe_max_flow_mag1
-                j = i + r
-                if is_kf and get_sharp(j) is not None and get_depth(j) is not None:
-                    fired = r
-                    break
 
             commit = c if fired < 0 else fired + 1
             for r in range(commit):

@@ -106,3 +106,52 @@ class TestChunkedRecovery:
             err = float(jnp.linalg.norm(
                 jnp.asarray(np.asarray(poses[k].t), jnp.float64) - p.t))
             assert err < 2e-3, (k, err)
+
+
+class TestEventOrdering:
+    def test_keyframe_before_failure_in_same_chunk(self):
+        """A keyframe event EARLIER in a chunk must win over a failure
+        later in the same chunk (the unhealthy frame then re-tracks against
+        the new keyframe), mirroring the sequential per-frame order —
+        regression: the failure branch used to run first and silently drop
+        the keyframe."""
+        img0, traj, frames = generate_sequence(5)
+        depth = np.full((H, W), DEPTH, dtype=np.float32)
+        # thresholds low enough that every healthy frame fires a keyframe
+        cfg = _cfg(keyframe_max_flow_mag0=0.5, keyframe_max_flow_mag1=1.0,
+                   keyframe_max_blur_kernel_mag=50.0)
+
+        imgs = [np.asarray(img0)] + [np.asarray(b) for _, b in frames]
+        imgs[4] = np.full_like(imgs[4], np.nan)   # failure AFTER keyframes
+        caps = [0.0] + [c for c, _ in frames]
+        exps = [EXPOSURE] * len(imgs)
+        sharps = list(imgs)       # keyframe candidates available everywhere
+        depths = [depth] * len(imgs)
+
+        t_seq = BlurAwareTracker(cfg, KVEC, (H, W))
+        seq = [
+            t_seq.track_frame(sharps[i], imgs[i], caps[i], exps[i], depths[i])
+            for i in range(len(imgs))
+        ]
+        t_seq.flush()
+
+        t_chk = BlurAwareTracker(cfg, KVEC, (H, W))
+        chk = t_chk.track_frames(imgs, caps, exps, sharp_imgs=sharps,
+                                 depth_maps=depths, chunk=5)
+
+        # both paths reject exactly the NaN frame
+        assert len(t_seq.failure_log) == 1
+        assert len(t_chk.failure_log) == 1
+        assert t_chk.failure_log[0].cap_time == pytest.approx(caps[4])
+        # and agree on every healthy frame's pose (the rejected frame's
+        # emitted pose differs by design: the chunked path substitutes the
+        # last good pose, the single-frame API already returned it)
+        for k in range(len(imgs)):
+            if k == 4:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(seq[k].t), np.asarray(chk[k].t), atol=1e-9,
+                err_msg=f"frame {k}")
+        # the keyframe chain advanced identically
+        np.testing.assert_allclose(np.asarray(t_seq.T_keyframe.t),
+                                   np.asarray(t_chk.T_keyframe.t), atol=1e-9)

@@ -62,10 +62,19 @@ def _run_sequence(backend, num_frames=5):
 
 class TestBackendIntegration:
     def test_backend_matches_or_beats_tracker(self):
-        """Window BA with odometry priors must not degrade the trajectory,
-        and must reduce the accumulated end-of-sequence drift (round-2
-        verdict: the unvalidated backend tripled the error; this is the
-        regression gate)."""
+        """Window BA with odometry priors must not degrade the trajectory
+        (round-2 verdict: the unvalidated backend tripled the error; this
+        is the regression gate).
+
+        Why parity and not strict improvement: every landmark is created
+        FROM a keyframe of the same drifted chain, so the window's
+        ABSOLUTE drift is unobservable to in-window BA — only internal
+        inconsistency is. (An earlier revision asserted strict final-frame
+        improvement; that held only because the solver's odometry prior was
+        accidentally n x weaker than the acceptance cost's, an incoherent
+        GN system since fixed.) The observable drift-correction claim lives
+        in TestLoopClosure, where PnP loop edges provide the external
+        anchor and >= 50% correction is asserted."""
         errs_plain, _ = _run_sequence(None)
         be = VOBackend(BackendConfig(window_size=4, run_pose_graph=False),
                        KVEC)
@@ -74,8 +83,7 @@ class TestBackendIntegration:
         ate_plain = float(np.sqrt(np.mean(errs_plain ** 2)))
         ate_be = float(np.sqrt(np.mean(errs_be ** 2)))
         assert ate_be <= ate_plain * 1.05, (ate_be, ate_plain)
-        # drift correction: the final-frame error must improve
-        assert errs_be[-1] < errs_plain[-1], (errs_be, errs_plain)
+        assert errs_be[-1] <= errs_plain[-1] * 1.05, (errs_be, errs_plain)
 
     def test_landmark_map_health(self):
         """Association must build a real map, not starve (round-2 verdict:
