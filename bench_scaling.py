@@ -1,26 +1,41 @@
-"""Scaling harness: tracked LM steps/s vs mesh size (1/2/4/8 devices).
+"""Scaling harness: keypoint-sharded LM steps vs mesh size (1/2/4/8 devices).
 
 Runs the production-config keypoint-sharded LM step (windowed sampling, VGA
-keyframe, 512 keypoints, psum-assembled normal equations) on meshes of
-growing size with a FIXED GLOBAL problem (strong scaling) and records wall
-time per step. Writes one JSON line per mesh size and a summary file
-(SCALING_r{round}.json when --out is given).
+keyframe, psum-assembled normal equations) on meshes of growing size, in two
+regimes (VERDICT r03 weak #2 asked for both plus an overhead decomposition):
 
-On real hardware each mesh size uses distinct chips and the efficiency
-column is meaningful against the >=90% BASELINE.md target. On the virtual
-CPU mesh (default test environment: XLA_FLAGS=--xla_force_host_platform_
-device_count=8 on a small host) the devices SHARE physical cores, so
-efficiency there validates plumbing + overhead trends, not chip scaling —
-the JSON records the platform so the judge can tell which regime produced
-the numbers.
+  strong  — FIXED global problem split across devices. Two problem sizes:
+            512 keypoints (the r03 configuration, kept for continuity; at 8
+            devices each shard holds only 64 keypoints so overhead dominates
+            by construction) and 4096 keypoints (512/shard at 8 devices — a
+            regime where scaling is actually possible).
+  weak    — FIXED 512 keypoints PER DEVICE (global = 512 * mesh size, up to
+            4096). Ideal wall time is flat.
+
+Overhead decomposition (the honest story on shared cores): for every mesh
+size the harness also times t_local = the SAME per-shard problem run
+unsharded on ONE device (no shard_map, no psum). The virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) time-shares the host's
+physical cores, so the core-adjusted ideal wall is
+
+    ideal(s) = t_local * s / min(s, physical_cores)
+
+and  collective_overhead_frac = (wall - ideal) / wall  isolates what the
+sharding machinery (shard_map partitioning + psum collectives + duplicated
+small solves) adds ON TOP of the unavoidable core time-sharing. The
+core-adjusted efficiency ideal/wall is the number that transfers to real
+hardware, where min(s, cores) = s and the adjustment disappears — this
+harness is ready to produce the >=90% BASELINE.md figure the day N real
+chips exist (SURVEY §2.5 multi-host row, §7 phase 6).
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python bench_scaling.py [--out SCALING_r03.json]
+      python bench_scaling.py [--out SCALING_r04.json]
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -49,9 +64,10 @@ def main(argv=None):
     from mba_vo_tpu.core.spline import identity_knots
     from mba_vo_tpu.parallel import mesh as pmesh
     from mba_vo_tpu.parallel.sharded import optimize_level_sharded
-    from mba_vo_tpu.solver.lm import LMOptions
+    from mba_vo_tpu.solver.lm import LMOptions, optimize_level_jit
 
     n_dev = len(jax.devices())
+    n_cores = os.cpu_count() or 1
     if args.sizes:
         sizes = [int(s) for s in args.sizes.split(",")]
     else:
@@ -61,52 +77,102 @@ def main(argv=None):
             sizes.append(s)
             s *= 2
 
-    knots, data = entrymod._production_problem(jnp.float32, chunk=1)
-    init = identity_knots(2, t0=float(knots.t0), dt=float(knots.dt),
-                          dtype=jnp.float32)
     opts = LMOptions(huber_a=20.0, max_iterations=8,
                      min_abs_cost_decrease=1e-7, sampling="windowed",
                      window=32)
 
-    results = []
-    t1 = None
-    for s in sizes:
-        mesh = pmesh.make_mesh(s)
-        sdata = pmesh.shard_level_data(data, mesh)
-        out, summary = optimize_level_sharded(init, sdata, 3, 2, opts, mesh)
-        jax.block_until_ready(out.t)   # compile + warm
+    problems = {}
+
+    def problem(n_kp):
+        if n_kp not in problems:
+            knots, data = entrymod._production_problem(
+                jnp.float32, n_kp=n_kp, chunk=1)
+            init = identity_knots(2, t0=float(knots.t0), dt=float(knots.dt),
+                                  dtype=jnp.float32)
+            problems[n_kp] = (init, data)
+        return problems[n_kp]
+
+    local_cache = {}
+
+    def t_local(n_kp):
+        """Wall time of the unsharded per-shard problem on ONE device."""
+        if n_kp in local_cache:
+            return local_cache[n_kp]
+        init, data = problem(n_kp)
+        out, _ = optimize_level_jit(init, data, 3, 2, opts)
+        jax.block_until_ready(out.t)
         t0 = time.time()
         for _ in range(args.reps):
-            out, summary = optimize_level_sharded(
-                init, sdata, 3, 2, opts, mesh
-            )
+            out, _ = optimize_level_jit(init, data, 3, 2, opts)
             jax.block_until_ready(out.t)
-        wall = (time.time() - t0) / args.reps
-        if t1 is None:
-            t1 = wall
-        eff = t1 / (wall * s)  # strong-scaling efficiency vs 1 device
-        rec = {
-            "mesh_devices": s,
-            "lm_step_wall_s": round(wall, 4),
-            "steps_per_s": round(1.0 / wall, 3),
-            "strong_scaling_efficiency": round(eff, 3),
-            "platform": jax.default_backend(),
-            "keypoints": int(data.kp_mask.shape[0]),
-            "image": list(data.img_ref.shape),
-            "sampling": "windowed",
-        }
-        print(json.dumps(rec), flush=True)
-        results.append(rec)
+        local_cache[n_kp] = (time.time() - t0) / args.reps
+        return local_cache[n_kp]
+
+    def run_case(mode, global_kp_of, results):
+        t1 = None
+        for s in sizes:
+            n_global = global_kp_of(s)
+            n_shard = n_global // s
+            init, data = problem(n_global)
+            mesh = pmesh.make_mesh(s)
+            sdata = pmesh.shard_level_data(data, mesh)
+            out, summary = optimize_level_sharded(init, sdata, 3, 2, opts,
+                                                  mesh)
+            jax.block_until_ready(out.t)   # compile + warm
+            t0 = time.time()
+            for _ in range(args.reps):
+                out, summary = optimize_level_sharded(
+                    init, sdata, 3, 2, opts, mesh
+                )
+                jax.block_until_ready(out.t)
+            wall = (time.time() - t0) / args.reps
+            if t1 is None:
+                t1 = wall
+            if mode == "strong":
+                raw_eff = t1 / (wall * s)
+            else:
+                raw_eff = t1 / wall
+            tl = t_local(n_shard)
+            ideal = tl * s / min(s, n_cores)
+            rec = {
+                "mode": mode,
+                "mesh_devices": s,
+                "global_keypoints": n_global,
+                "keypoints_per_shard": n_shard,
+                "lm_step_wall_s": round(wall, 4),
+                "steps_per_s": round(1.0 / wall, 3),
+                "raw_efficiency": round(raw_eff, 3),
+                "t_local_unsharded_s": round(tl, 4),
+                "core_adjusted_ideal_s": round(ideal, 4),
+                "core_adjusted_efficiency": round(min(ideal / wall, 1.0), 3),
+                "collective_overhead_frac": round(
+                    max(0.0, (wall - ideal) / wall), 3),
+                "platform": jax.default_backend(),
+                "image": list(problem(n_global)[1].img_ref.shape),
+            }
+            print(json.dumps(rec), flush=True)
+            results.append(rec)
+
+    results = []
+    run_case("strong", lambda s: 512, results)
+    if n_dev * 512 <= 4096 or 4096 % max(sizes) == 0:
+        run_case("strong", lambda s: 4096, results)
+    run_case("weak", lambda s: 512 * s, results)
 
     if args.out:
         with open(args.out, "w") as f:
             json.dump(
                 {
-                    "metric": "keypoint_sharded_lm_strong_scaling",
+                    "metric": "keypoint_sharded_lm_scaling",
+                    "physical_cores": n_cores,
                     "note": (
-                        "virtual CPU mesh shares physical cores; efficiency "
-                        "on this platform validates collective plumbing and "
-                        "overhead trends, not chip scaling"
+                        "virtual CPU mesh time-shares the host's "
+                        f"{n_cores} physical cores; raw efficiency is "
+                        "bounded by min(s, cores)/s BY CONSTRUCTION. "
+                        "core_adjusted_efficiency divides out the time-"
+                        "sharing and collective_overhead_frac is what the "
+                        "sharding machinery itself costs — the transferable "
+                        "numbers for real hardware"
                         if jax.default_backend() == "cpu" else
                         "real device mesh"
                     ),

@@ -159,3 +159,23 @@ def solve_pnp(
 
 
 solve_pnp_jit = jax.jit(solve_pnp, static_argnums=(5, 6))
+
+
+@jax.jit
+def pnp_residual_norms(
+    points: jnp.ndarray,   # [N, 3] 3D points in frame F
+    obs_xy: jnp.ndarray,   # [N, 2]
+    K: jnp.ndarray,
+    pose: Pose,            # camera-to-F
+) -> jnp.ndarray:
+    """[N] reprojection residual norms of ``points`` under ``pose`` — the
+    per-correspondence statistic PnP inlier gating reads (loop-closure
+    candidate matches carry descriptor-aliasing outliers that a single
+    robust solve cannot fully reject)."""
+    q_inv = quat_conjugate(pose.q)
+    Pc = quat_rotate(q_inv[None], points - pose.t[None])
+    z = jnp.maximum(Pc[:, 2], 1e-6)
+    proj = jnp.stack(
+        [Pc[:, 0] / z * K[0] + K[2], Pc[:, 1] / z * K[1] + K[3]], axis=-1
+    )
+    return jnp.linalg.norm(proj - obs_xy, axis=-1)

@@ -78,13 +78,44 @@ def _build_arg_parser() -> argparse.ArgumentParser:
                         "relaxes the chain with a pose graph")
     t.add_argument("--backend-window", type=int, default=7,
                    help="BA window size in keyframes (BASELINE config 4)")
+    t.add_argument("--backend-config",
+                   help="JSON file of BackendConfig overrides (detector, "
+                        "matching, loop-closure, BA and pose-graph knobs)")
+    t.add_argument("--joint-window", action="store_true",
+                   help="optimize each chunk of frames as ONE joint LM "
+                        "problem over a sliding multi-knot spline window "
+                        "(the reference's <=16-frame/<=16-knot design "
+                        "point; enables cross-frame smoothness and "
+                        "degree-4 cubics; full keyframe switching + "
+                        "failure recovery). Requires --chunk > 1")
     t.add_argument("--viz-dir",
                    help="write per-frame overlay PNGs (tracked keypoints + "
                         "estimated blur-kernel polylines, the reference's "
-                        "drawCurrFrameKeypoints GUI output, headless)")
+                        "drawCurrFrameKeypoints GUI output, headless). In "
+                        "chunked mode overlays render from each frame's own "
+                        "committed knot window; rejected frames are skipped")
 
     s = sub.add_parser("synth", help="generate a synthetic blurred sequence")
     s.add_argument("--output", required=True, help="output directory")
+    s.add_argument("--texture", choices=("shapes", "random"),
+                   default="shapes",
+                   help="'random' = smoothed random albedo (locally "
+                        "distinctive, feature-matching friendly); 'shapes' "
+                        "= the reference's white-rectangle scene")
+    s.add_argument("--trajectory", choices=("random", "loop"),
+                   default="random",
+                   help="'loop' = closed circle revisiting the start pose "
+                        "(loop-closure benchmark, BASELINE configs 4-5)")
+    s.add_argument("--noise", type=float, default=0.0,
+                   help="additive Gaussian pixel noise sigma on blurred "
+                        "frames (controlled drift source for the loop "
+                        "benchmark)")
+    s.add_argument("--scene", choices=("planar", "3d"), default="planar",
+                   help="scene geometry: 'planar' = constant-depth textured "
+                        "plane (the reference's generator); '3d' = slanted "
+                        "plane + sphere field rendered by exact ray casting "
+                        "with true per-frame depth maps (non-planar "
+                        "benchmark, BASELINE config 3 readiness)")
     s.add_argument("--num-frames", type=int, default=20)
     s.add_argument("--height", type=int, default=480)
     s.add_argument("--width", type=int, default=640)
@@ -229,17 +260,31 @@ def cmd_track(args) -> int:
     cfg = (
         load_tracker_config(args.config) if args.config else TrackerConfig()
     )
+    if cfg.dtype == "float64":
+        # without this, a float64 config outside the test harness is
+        # SILENTLY truncated to float32 (jax default) — the tracker then
+        # runs at a precision the user did not ask for
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     backend = None
     if args.backend != "none":
-        from .backend.vo_backend import BackendConfig, VOBackend
+        import dataclasses as _dc
 
-        backend = VOBackend(
-            BackendConfig(
-                window_size=args.backend_window,
-                run_pose_graph=(args.backend == "ba+pg"),
-            ),
-            K,
+        from .backend.vo_backend import BackendConfig, VOBackend
+        from .utils.config import backend_config_from_dict
+
+        if args.backend_config:
+            with open(args.backend_config) as f:
+                bcfg = backend_config_from_dict(json.load(f))
+        else:
+            bcfg = BackendConfig()
+        bcfg = _dc.replace(
+            bcfg,
+            window_size=args.backend_window,
+            run_pose_graph=(args.backend == "ba+pg"),
         )
+        backend = VOBackend(bcfg, K)
     tracker = BlurAwareTracker(cfg, K, (H, W), backend=backend)
     start_idx = 0
     if args.resume and os.path.exists(
@@ -251,22 +296,67 @@ def cmd_track(args) -> int:
         start_idx = meta["next_frame"]
         print(f"resumed at frame {start_idx}")
 
+    # ---- I/O prefetch: frame i+1's file reads overlap frame i's device
+    # compute. Unreal ASCII depth goes through the NATIVE parser + thread
+    # pool (runtime/dataio.cpp DepthPrefetcher — the production caller of
+    # the reference InputOutput.cpp:12-41 path); images and other depth
+    # formats prefetch on a small Python thread pool. Device-side undistort
+    # stays on the caller thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _RUNTIME_DIR = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "runtime",
+    )
+    if _RUNTIME_DIR not in sys.path:
+        sys.path.insert(0, _RUNTIME_DIR)
+    from bindings import DepthPrefetcher, parse_depth_file
+
+    native_pf = DepthPrefetcher(2) if (
+        depth_paths and args.dataset_type == "unreal") else None
+    _pool = ThreadPoolExecutor(max_workers=2)
+    _img_futs, _depth_futs = {}, {}
+    PREFETCH_AHEAD = max(4, args.chunk)
+
+    def _depth_raw(path):
+        if path.lower().endswith(".npy"):
+            return np.load(path)
+        if args.dataset_type == "unreal":
+            if native_pf is not None:
+                return ds.ray_depth_to_z(
+                    native_pf.fetch(path, H, W), K)
+            return ds.ray_depth_to_z(parse_depth_file(path, H, W), K)
+        if args.dataset_type == "eth3d":
+            return ds.load_depth(path, "eth3d")
+        return np.load(path)
+
+    def _prefetch_ahead(j0):
+        for j in range(j0, min(j0 + PREFETCH_AHEAD, len(image_paths))):
+            if j not in _img_futs:
+                _img_futs[j] = _pool.submit(
+                    ds.load_gray_image, image_paths[j])
+            if depth_paths and j not in _depth_futs:
+                if native_pf is not None:
+                    native_pf.submit(depth_paths[j])
+                    _depth_futs[j] = True
+                else:
+                    _depth_futs[j] = _pool.submit(_depth_raw, depth_paths[j])
+
     def load_image(i):
-        img = ds.load_gray_image(image_paths[i])
+        fut = _img_futs.pop(i, None)
+        img = (fut.result() if fut is not None
+               else ds.load_gray_image(image_paths[i]))
+        _prefetch_ahead(i + 1)
         return undistort(img) if undistort else img
 
     def load_depth(i):
         if not depth_paths:
             return None
-        path = depth_paths[i]
-        if path.lower().endswith(".npy"):
-            d = np.load(path)
-        elif args.dataset_type == "unreal":
-            d = ds.load_depth(path, "unreal", K, H, W)
-        elif args.dataset_type == "eth3d":
-            d = ds.load_depth(path, "eth3d")
+        fut = _depth_futs.pop(i, None)
+        if fut is None or fut is True:
+            d = _depth_raw(depth_paths[i])
         else:
-            d = np.load(path)
+            d = fut.result()
         return undistort_depth(d) if undistort_depth else d
 
     def load_sharp(i, blurred):
@@ -293,45 +383,59 @@ def cmd_track(args) -> int:
             # late (deferred keyframe pipeline), so this reads the PREVIOUS
             # frame's kernel length
             kernel = tracker.avg_kernel_length
+        if kernel is not None and np.isnan(kernel):
+            # chunked path marks a health-check-rejected frame with NaN
+            # stats; its pose is the last good pose, held
+            tail = "(rejected, pose held)"
+        else:
+            tail = f"kernel={kernel:.2f}px"
         print(
             f"frame {i:4d} t={cap:.3f} pos="
             + np.array2string(np.asarray(pose.t), precision=4)
-            + f" kernel={kernel:.2f}px"
+            + " " + tail
         )
-        if args.viz_dir and tracker.keyframe_levels and tracker.knots is not None:
-            # keypoint + estimated blur-kernel overlay on the tracked frame
-            # (reference drawCurrFrameKeypoints, with_gui hooks —
-            # blur_aware_direct_tracker.cpp:436-491, headless PNGs here).
-            # The live knot window only describes the LAST tracked frame: in
-            # chunked mode earlier frames of a batch would be rendered from
-            # a spline evaluated far outside its window — skip those instead
-            # of writing extrapolated-garbage overlays
-            exp_i = frame_meta(i)[1]
-            t0 = float(tracker.knots.t0)
-            t_end = t0 + float(tracker.knots.dt) * (
-                tracker.knots.num_knots - 1
-            )
-            if not (t0 - 1e-9 <= cap - 0.5 * exp_i
-                    and cap + 0.5 * exp_i <= t_end + 1e-9):
-                return
-            from .utils import viz
+        if args.viz_dir and chunk == 1:
+            # chunked mode renders through the tracker's per-frame commit
+            # callback instead (correct per-frame knots + keyframe pairing)
+            render_overlay(i, tracker.knots)
 
-            os.makedirs(args.viz_dir, exist_ok=True)
-            kf0 = tracker.keyframe_levels[0]
-            m = np.asarray(kf0["kp_mask"]) > 0
-            segs = viz.blur_kernel_segments(
-                tracker.knots, np.asarray(kf0["kp_xy"])[m],
-                np.asarray(kf0["kp_z"])[m], K, cap,
-                frame_meta(i)[1], cfg.spline_degree,
-            )
-            img = viz.to_rgb(ds.load_gray_image(image_paths[i]))
-            img = viz.draw_segments(img, segs, color=(64, 220, 64))
-            ends = np.stack([s[len(s) // 2] for s in segs]) if segs else None
-            if ends is not None:
-                img = viz.draw_points(img, ends, color=(255, 64, 64))
-            viz.save_png(
-                os.path.join(args.viz_dir, f"frame_{i:05d}.png"), img
-            )
+    def render_overlay(i, knots):
+        # keypoint + estimated blur-kernel overlay on the tracked frame
+        # (reference drawCurrFrameKeypoints, with_gui hooks —
+        # blur_aware_direct_tracker.cpp:436-491, headless PNGs here).
+        # Skip frames whose exposure the given knot window does not cover
+        # (bootstrap / re-anchor corner cases) rather than writing
+        # extrapolated-garbage overlays
+        if not tracker.keyframe_levels or knots is None:
+            return
+        cap, exp_i = frame_meta(i)
+        t0 = float(knots.t0)
+        t_end = t0 + float(knots.dt) * (knots.num_knots - 1)
+        # float32 production knots round t0 by ~1e-7 of the time scale, so
+        # the coverage tolerance must be well above f32 ulp (a 1e-9 epsilon
+        # silently dropped ~half the overlays on TPU runs)
+        tol = 1e-4 * max(1.0, abs(t_end), float(knots.dt))
+        if not (t0 - tol <= cap - 0.5 * exp_i
+                and cap + 0.5 * exp_i <= t_end + tol):
+            return
+        from .utils import viz
+
+        os.makedirs(args.viz_dir, exist_ok=True)
+        kf0 = tracker.keyframe_levels[0]
+        m = np.asarray(kf0["kp_mask"]) > 0
+        segs = viz.blur_kernel_segments(
+            knots, np.asarray(kf0["kp_xy"])[m],
+            np.asarray(kf0["kp_z"])[m], K, cap,
+            exp_i, cfg.spline_degree,
+        )
+        img = viz.to_rgb(ds.load_gray_image(image_paths[i]))
+        img = viz.draw_segments(img, segs, color=(64, 220, 64))
+        ends = np.stack([s[len(s) // 2] for s in segs]) if segs else None
+        if ends is not None:
+            img = viz.draw_points(img, ends, color=(255, 64, 64))
+        viz.save_png(
+            os.path.join(args.viz_dir, f"frame_{i:05d}.png"), img
+        )
 
     def checkpoint(next_frame):
         # resolve any deferred keyframe decision first: _pending is not part
@@ -344,6 +448,18 @@ def cmd_track(args) -> int:
             json.dump({"next_frame": next_frame}, f)
 
     chunk = max(1, args.chunk)
+    if args.joint_window and chunk <= 1:
+        print("warning: --joint-window needs --chunk > 1; falling back to "
+              "per-frame tracking")
+    if args.viz_dir and chunk > 1:
+        # per-frame overlays in chunked mode: the tracker invokes this at
+        # each frame's COMMIT (correct per-frame knot window + the keyframe
+        # it was actually tracked against); knots is None for a rejected
+        # frame, which render_overlay skips
+        viz_base = [start_idx]
+        tracker.frame_callback = (
+            lambda r, knots: render_overlay(viz_base[0] + r, knots)
+        )
     i = start_idx
     n = len(image_paths)
     since_ckpt = 0
@@ -381,7 +497,11 @@ def cmd_track(args) -> int:
             imgs = [load_image(j) for j in idx]
             depths = [load_depth(j) for j in idx]
             sharps = [load_sharp(j, imgs[r]) for r, j in enumerate(idx)]
-            poses = tracker.track_frames(
+            if args.viz_dir:
+                viz_base[0] = i
+            track = (tracker.track_frames_joint if args.joint_window
+                     else tracker.track_frames)
+            poses = track(
                 imgs, [m[0] for m in metas], [m[1] for m in metas],
                 sharp_imgs=sharps, depth_maps=depths, chunk=chunk,
                 inflight=max(1, args.inflight),
@@ -426,59 +546,156 @@ def cmd_synth(args) -> int:
     fx = 0.75 * W
     K = np.array([fx, fx, (W - 1) / 2, (H - 1) / 2])
 
-    img0 = jnp.asarray(smooth_shapes_image(H, W), jnp.float32)
-    rng = np.random.default_rng(args.seed)
-    vel_t = rng.uniform(-0.08, 0.08, 3)
-    vel_w = rng.uniform(-0.08, 0.08, 3)
-    n_knots = args.num_frames + 4
-    kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
-    q = kq[0]
-    for _ in range(1, n_knots):
-        kt.append(kt[-1] + vel_t * args.frame_dt + rng.normal(0, 1e-3, 3))
-        import jax.numpy as _j
+    use_3d = getattr(args, "scene", "planar") == "3d"
+    if getattr(args, "texture", "shapes") == "random":
+        # smoothed random texture: locally distinctive everywhere — the
+        # shapes scene's repeated rectangle corners alias BRIEF descriptors
+        # and starve feature-based loop closure
+        from .data.synthetic import _box_filter_1d
 
-        q = np.array(
-            lie.quat_multiply(
-                _j.asarray(q),
-                lie.quat_exp(_j.asarray(vel_w * args.frame_dt + rng.normal(0, 1e-3, 3))),
+        timg = np.random.default_rng(args.seed + 1).uniform(0, 255, (H, W))
+        for _ in range(2):
+            timg = _box_filter_1d(timg, 2, 0)
+            timg = _box_filter_1d(timg, 2, 1)
+        img0 = jnp.asarray(timg, jnp.float32)
+    else:
+        img0 = jnp.asarray(smooth_shapes_image(H, W), jnp.float32)
+    rng = np.random.default_rng(args.seed)
+    n_knots = args.num_frames + 4
+    import jax.numpy as _j
+    if getattr(args, "trajectory", "random") == "loop":
+        # closed loop revisiting the start: a lateral circle + yaw wiggle,
+        # one full revolution over the sequence (the BASELINE configs 4-5
+        # loop-closure benchmark geometry)
+        R = 0.12 * args.depth
+        kt, kq = [], []
+        for k in range(n_knots):
+            th = 2.0 * np.pi * k / max(args.num_frames, 1)
+            kt.append(np.array([R * np.sin(th), R * (1 - np.cos(th)),
+                                0.02 * args.depth * np.sin(2 * th)]))
+            yaw = 0.06 * np.sin(th)
+            pitch = 0.04 * np.sin(2 * th)
+            q = np.array(lie.quat_exp(_j.asarray([pitch, yaw, 0.0])))
+            kq.append(q / np.linalg.norm(q))
+    else:
+        vel_t = rng.uniform(-0.08, 0.08, 3)
+        vel_w = rng.uniform(-0.08, 0.08, 3)
+        kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
+        q = kq[0]
+        for _ in range(1, n_knots):
+            kt.append(kt[-1] + vel_t * args.frame_dt + rng.normal(0, 1e-3, 3))
+            q = np.array(
+                lie.quat_multiply(
+                    _j.asarray(q),
+                    lie.quat_exp(_j.asarray(vel_w * args.frame_dt + rng.normal(0, 1e-3, 3))),
+                )
             )
-        )
-        q = q / np.linalg.norm(q)
-        kq.append(q)
+            q = q / np.linalg.norm(q)
+            kq.append(q)
     traj = make_knots(
         jnp.asarray(np.array(kt), jnp.float32),
         jnp.asarray(np.array(kq), jnp.float32), 0.0, args.frame_dt,
     )
 
     Kj = jnp.asarray(K, jnp.float32)
-    synth = jax.jit(
-        lambda cap: synthesize_blurred_image(
-            img0, traj, 2, cap, args.exposure, args.num_samples,
-            args.depth, Kj,
+    if use_3d:
+        # non-planar scene: slanted textured plane + sphere field, rendered
+        # by exact ray casting with TRUE per-frame depth maps
+        # (data.scene3d — the BASELINE config 3 readiness benchmark)
+        from .data import scene3d
+
+        scene = scene3d.default_scene(
+            np.asarray(img0), depth=args.depth, seed=args.seed)
+        QID = jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32)
+        synth = jax.jit(
+            lambda cap: scene3d.synthesize_blurred_image_scene(
+                scene, traj, 2, cap, args.exposure, args.num_samples,
+                Kj, H, W,
+            )
         )
-    )
+        render0 = jax.jit(
+            lambda t, q: scene3d.render_scene(scene, t, q, Kj, H, W)
+        )
+
+        def depth_at(cap):
+            p = spline_pose_at(traj, jnp.float32(cap), 2)
+            _, z = render0(p.t, p.q)
+            return np.asarray(z, np.float32)
+    else:
+        synth = jax.jit(
+            lambda cap: synthesize_blurred_image(
+                img0, traj, 2, cap, args.exposure, args.num_samples,
+                args.depth, Kj,
+            )
+        )
+
+        # exact z-depth of the world plane z=args.depth from pose (t, R):
+        # the ray through pixel (u,v) hits at ray parameter
+        # s = (depth - t_z) / (R d_cam)_z and with d_cam = (x', y', 1) the
+        # camera z-depth IS s — per-pose depth maps, not a constant fill
+        ys_g, xs_g = np.mgrid[0:H, 0:W]
+        _dcam = np.stack(
+            [(xs_g - K[2]) / K[0], (ys_g - K[3]) / K[1],
+             np.ones((H, W))], axis=-1)
+
+        def depth_at(cap):
+            from .core.lie import quat_rotate as _qr
+
+            p = spline_pose_at(traj, jnp.float32(cap), 2)
+            R_d = np.asarray(_qr(
+                jnp.asarray(p.q)[None, None, :], jnp.asarray(_dcam, jnp.float32)
+            ))
+            s = (args.depth - float(p.t[2])) / R_d[..., 2]
+            return s.astype(np.float32)
 
     img_dir = os.path.join(args.output, "images")
     depth_dir = os.path.join(args.output, "depths")
+    sharp_dir = os.path.join(args.output, "sharp")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(depth_dir, exist_ok=True)
+    os.makedirs(sharp_dir, exist_ok=True)
 
-    PILImage.fromarray(np.asarray(img0).astype(np.uint8)).save(
+    def sharp_at(cap):
+        """True sharp render at the capture-time pose — keyframe candidates
+        for mid-sequence switches (the reference dataset contract expects a
+        sharp keyframe, blur_aware_direct_tracker.cpp:373-386)."""
+        p = spline_pose_at(traj, jnp.float32(cap), 2)
+        if use_3d:
+            im, _ = render0(p.t, p.q)
+        else:
+            from .data.synthetic import warp_image
+
+            im = warp_image(img0, p.t, p.q, args.depth, Kj)
+        return np.clip(np.asarray(im), 0, 255).astype(np.uint8)
+
+    if use_3d:
+        frame0, _ = render0(jnp.zeros(3, jnp.float32),
+                            jnp.asarray([0, 0, 0, 1.0], jnp.float32))
+        frame0 = np.clip(np.asarray(frame0), 0, 255)
+    else:
+        frame0 = np.asarray(img0)
+    PILImage.fromarray(frame0.astype(np.uint8)).save(
         os.path.join(img_dir, "frame_0000.png")
     )
-    np.save(os.path.join(depth_dir, "frame_0000.npy"),
-            np.full((H, W), args.depth, np.float32))
+    PILImage.fromarray(frame0.astype(np.uint8)).save(
+        os.path.join(sharp_dir, "frame_0000.png")
+    )
+    np.save(os.path.join(depth_dir, "frame_0000.npy"), depth_at(0.0))
 
     gt_times, gt_t, gt_q = [0.0], [np.zeros(3)], [np.array([0, 0, 0, 1.0])]
     lines = [f"frame_0000.png 0.0 {args.exposure}"]
     for i in range(1, args.num_frames + 1):
         cap = i * args.frame_dt
         blurred = np.asarray(synth(jnp.float32(cap)))
+        if args.noise > 0:
+            blurred = blurred + rng.normal(0, args.noise, blurred.shape)
         PILImage.fromarray(np.clip(blurred, 0, 255).astype(np.uint8)).save(
             os.path.join(img_dir, f"frame_{i:04d}.png")
         )
-        np.save(os.path.join(depth_dir, f"frame_{i:04d}.npy"),
-                np.full((H, W), args.depth, np.float32))
+        np.save(os.path.join(depth_dir, f"frame_{i:04d}.npy"), depth_at(cap))
+        PILImage.fromarray(sharp_at(cap)).save(
+            os.path.join(sharp_dir, f"frame_{i:04d}.png")
+        )
         p = spline_pose_at(traj, cap, 2)
         gt_times.append(cap)
         gt_t.append(np.asarray(p.t))

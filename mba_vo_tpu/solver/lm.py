@@ -254,6 +254,7 @@ def optimize_level(
     degree: int,
     opts: LMOptions,
     axis_name=None,
+    cache=None,
 ) -> Tuple[SplineKnots, LMSummary]:
     """Run the full LM loop for one pyramid level, entirely on device.
 
@@ -281,11 +282,14 @@ def optimize_level(
             (6 * knots.num_knots, 6 * knots.num_knots), dtype
         )
 
-    # windowed-sampling cache: keyframe windows are level-constant, so ONE
-    # extraction serves every iteration of the loop below (ops.residual.
-    # prepare_window_cache; XLA does not hoist it out of the while_loop)
-    cache = (prepare_window_cache(data, opts.window)
-             if opts.sampling == "windowed" else None)
+    # windowed-sampling cache: keyframe windows are KEYFRAME-constant —
+    # callers that track many frames against one keyframe pass ``cache``
+    # (extracted once at keyframe processing; measured ~590 us/level/frame
+    # of pure extraction otherwise, ~60% of per-level device time,
+    # PROFILE_r04.json). Without a caller cache it is still hoisted out of
+    # the LM while_loop below (XLA does not do that on its own).
+    if cache is None and opts.sampling == "windowed":
+        cache = prepare_window_cache(data, opts.window)
 
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
                    axis_name=axis_name, sampling=opts.sampling,

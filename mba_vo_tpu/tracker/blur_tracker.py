@@ -225,6 +225,7 @@ def _frame_step(
     kf_kp_xy,
     kf_kp_z,
     kf_kp_mask,
+    kf_caches,     # tuple of per-level (windows, starts) or Nones
     pattern,
     K0,
     num_levels: int,
@@ -258,7 +259,8 @@ def _frame_step(
             K=K0 / (2.0 ** lv),
         )
         knots, summary = optimize_level(
-            knots, data, num_virtual_poses[lv], degree, lm_opts
+            knots, data, num_virtual_poses[lv], degree, lm_opts,
+            cache=kf_caches[lv],
         )
         summaries.append((lv, summary))
 
@@ -290,6 +292,7 @@ def _track_frame_fused(
     kf_kp_xy,      # tuple of [N, 2]
     kf_kp_z,       # tuple of [N]
     kf_kp_mask,    # tuple of [N]
+    kf_caches,     # tuple of per-level (windows, starts) or Nones
     pattern,
     K0,
     *,
@@ -306,8 +309,8 @@ def _track_frame_fused(
     transfer replaces five."""
     knots, pose_cap, neigh_velocity, stats, summaries = _frame_step(
         knots, neigh_velocity, T_prev, scalars, cur_img,
-        kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, pattern, K0,
-        num_levels, num_virtual_poses, degree, lm_opts,
+        kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, kf_caches,
+        pattern, K0, num_levels, num_virtual_poses, degree, lm_opts,
     )
     result = pose_compose(T_keyframe, pose_cap)
     return knots, pose_cap, result, neigh_velocity, stats, summaries
@@ -329,6 +332,7 @@ def _track_chunk_fused(
     kf_kp_xy,
     kf_kp_z,
     kf_kp_mask,
+    kf_caches,
     pattern,
     K0,
     *,
@@ -353,8 +357,8 @@ def _track_chunk_fused(
         sc, img = inp
         knots, pose_cap, neigh_velocity, stats, summaries = _frame_step(
             knots, neigh_velocity, T_prev, sc, img,
-            kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, pattern, K0,
-            num_levels, num_virtual_poses, degree, lm_opts,
+            kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, kf_caches,
+            pattern, K0, num_levels, num_virtual_poses, degree, lm_opts,
         )
         result = pose_compose(T_keyframe, pose_cap)
         iters = jnp.stack([s.num_iterations for _, s in summaries])
@@ -390,22 +394,24 @@ def _track_chunk_fused(
 @partial(
     jax.jit,
     static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts",
-                     "do_slide", "chunk"),
+                     "chunk", "max_slide"),
 )
 def _track_joint_window_fused(
     knots: SplineKnots,      # [K] knot window, K = chunk + degree - 1
     T_keyframe: Pose,
-    scalars,                 # [3]: (cap_time_0, exp_time, dt_frame)
+    n_slide,                 # traced int32: knots to slide before tracking
+    caps,                    # [C] per-frame capture times
+    exps,                    # [C] per-frame exposure times
     cur_imgs,                # [C, H, W]
-    kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask,
+    kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, kf_caches,
     pattern, K0,
     *,
     num_levels: int,
     num_virtual_poses,
     degree: int,
     lm_opts,
-    do_slide: bool,
     chunk: int,
+    max_slide: int,
 ):
     """Joint multi-frame window tracking: ONE LM problem over a C-frame
     chunk with a sliding K-knot spline window.
@@ -416,37 +422,44 @@ def _track_joint_window_fused(
     merge_hessian_gradient_cost.cpp:39-86) but its tracker only ever solves
     one frame at a time. Here:
 
-      1. the knot window advances C knots by repeated
+      1. the knot window advances ``n_slide`` knots by repeated
          PopFront+Insert-with-constant-velocity-extrapolation
          (core.spline.slide_control_window / extrapolate_knot — the
-         Spline.h:146-158 window ops, jitted);
-      2. each of the C frames' exposures lives in its own spline segment
-         (knot_dt = dt_frame, t0 = cap_0 - exp/2), so the multi-frame
-         residual (ops.residual with F=C) couples consecutive frames
-         through shared knots — cross-frame smoothness the per-frame
-         tracker cannot express, and the configuration that makes degree-4
-         cubics well-posed;
+         Spline.h:146-158 window ops, jitted). n_slide is TRACED (masked
+         scan over max_slide steps), so the host chooses per chunk how far
+         to advance — this is what makes non-uniform frame timing and
+         failure-gap skips work without recompiling;
+      2. each frame's exposure lives inside the fixed-dt knot window
+         (caps/exps are per-frame ARRAYS — no uniform-spacing or constant-
+         exposure assumption), so the multi-frame residual (ops.residual
+         with F=C) couples consecutive frames through shared knots —
+         cross-frame smoothness the per-frame tracker cannot express, and
+         the configuration that makes degree-4 cubics well-posed;
       3. coarse-to-fine LM over the joint window, all levels in this one
-         device dispatch.
+         device dispatch;
+      4. per-frame keyframe/failure statistics (flow, blur kernel, final
+         cost) come back in one packed host array, exactly like
+         _track_chunk_fused — the host runs the same speculative decision
+         protocol on them.
 
-    Returns (knots, pose_caps [C], results [C] global poses).
+    Returns (knots, pose_caps [C], results [C] global poses,
+    host_pack [C, 10] = (flow, kernel, cost, result t[3], result q[4])).
     """
-    cap0, exp_time, dt_frame = scalars[0], scalars[1], scalars[2]
     dtype = knots.t.dtype
 
-    if do_slide:
-        def slide_once(k, _):
-            p = extrapolate_knot(k)
-            return slide_control_window(k, p.t, p.q), None
+    def slide_once(k, i):
+        p = extrapolate_knot(k)
+        k2 = slide_control_window(k, p.t, p.q)
+        return jax.tree.map(
+            lambda a, b: jnp.where(i < n_slide, b, a), k, k2
+        ), None
 
-        knots, _ = lax.scan(slide_once, knots, None, length=chunk)
-    knots = knots._replace(t0=cap0 - 0.5 * exp_time, dt=dt_frame)
-
-    caps = cap0 + dt_frame * jnp.arange(chunk, dtype=dtype)
-    exps = jnp.full((chunk,), exp_time, dtype)
+    knots, _ = lax.scan(slide_once, knots,
+                        jnp.arange(max_slide, dtype=jnp.int32))
 
     pyr = [jax.vmap(lambda im: image_pyramid(im, num_levels)[lv])(cur_imgs)
            for lv in range(num_levels)]
+    final_cost = jnp.zeros((), dtype)
     for i in range(num_levels):
         lv = num_levels - 1 - i
         data = TrackingLevelData(
@@ -462,14 +475,32 @@ def _track_joint_window_fused(
             K=K0 / (2.0 ** lv),
         )
         knots, _summary = optimize_level(
-            knots, data, num_virtual_poses[lv], degree, lm_opts
+            knots, data, num_virtual_poses[lv], degree, lm_opts,
+            cache=kf_caches[lv],
         )
+        final_cost = _summary.final_cost.astype(dtype)
 
     pose_caps = spline_pose_at_times(knots, caps, degree)
     results = jax.vmap(lambda t, q: pose_compose(T_keyframe, Pose(t=t, q=q)))(
         pose_caps.t, pose_caps.q
     )
-    return knots, pose_caps, results
+    # per-frame keyframe/failure statistics against the level-0 keyframe
+    # keypoints (reference isKeyframe, .cpp:205-263) — one packed array so
+    # the chunk costs exactly one device->host transfer
+    flow, kern = jax.vmap(
+        lambda c, e: _keyframe_flow_stats(
+            knots, kf_kp_xy[0], kf_kp_z[0], kf_kp_mask[0], K0, c, e, degree
+        )
+    )(caps, exps)
+    host_pack = jnp.concatenate(
+        [
+            flow[:, None], kern[:, None],
+            jnp.full((chunk, 1), final_cost, dtype),
+            results.t, results.q,
+        ],
+        axis=1,
+    )
+    return knots, pose_caps, results, host_pack
 
 
 class BlurAwareTracker:
@@ -508,6 +539,13 @@ class BlurAwareTracker:
         # per-frame (flow, blur-kernel) statistics of the frames committed by
         # the most recent track_frames call, aligned with its returned poses
         self.last_track_stats: Optional[np.ndarray] = None
+        # optional per-frame commit hook for track_frames:
+        # cb(batch_index, knots_or_None). Invoked at COMMIT time, while the
+        # keyframe that frame was tracked against is still installed, with
+        # that frame's own knot window (None for a rejected frame). Consumers
+        # (CLI --viz-dir) render per-frame overlays from it; costs per-frame
+        # device-array slicing, so leave None on hot paths.
+        self.frame_callback = None
         # deferred keyframe decision: (stats_dev, pose_cap, cap_time,
         # sharp_img, depth_map, pre_frame_state). The decision scalars are
         # fetched at the START of the next track_frame so the device->host
@@ -538,6 +576,8 @@ class BlurAwareTracker:
         depth = np.asarray(depth_map)
         pyramid = image_pyramid(img0, self.cfg.num_pyramid_levels)
         self.keyframe_levels = []
+        from ..ops.residual import prepare_window_cache as _pwc  # noqa: F401
+        from ..ops.window_sampling import extract_windows, stack_image_channels
         for lv, img in enumerate(pyramid):
             grad, mag = _preprocess_level(img)
             kp_xy, resp, mask = detect_semidense_jit(mag, lv, self.cfg.detector)
@@ -559,15 +599,26 @@ class BlurAwareTracker:
             mask_np = (
                 np.asarray(mask) * (z >= self.cfg.min_keypoint_depth) * in_interior
             )
-            self.keyframe_levels.append(
-                dict(
-                    img=img,
-                    grad=grad,
-                    kp_xy=kp_xy.astype(self.dtype),
-                    kp_z=jnp.asarray(z, self.dtype),
-                    kp_mask=jnp.asarray(mask_np, self.dtype),
-                )
+            entry = dict(
+                img=img,
+                grad=grad,
+                kp_xy=kp_xy.astype(self.dtype),
+                kp_z=jnp.asarray(z, self.dtype),
+                kp_mask=jnp.asarray(mask_np, self.dtype),
             )
+            if self.cfg.sampling == "windowed":
+                # keyframe-constant window cache, extracted ONCE here and
+                # reused by every frame tracked against this keyframe
+                # (~590 us/level/frame of device time otherwise,
+                # PROFILE_r04.json window_cache rows)
+                chans = stack_image_channels(img, grad)
+                wins, starts = extract_windows(
+                    chans, entry["kp_xy"], self.cfg.sampling_window
+                )
+                entry["wincache"] = (jax.lax.stop_gradient(wins), starts)
+            else:
+                entry["wincache"] = None
+            self.keyframe_levels.append(entry)
 
     # ------------------------------------------------------------- tracking
 
@@ -683,6 +734,7 @@ class BlurAwareTracker:
 
         results: List[Pose] = []
         committed_stats: List[np.ndarray] = []
+        cb = self.frame_callback
         i = 0
         if self.is_first_frame:
             results.append(self.track_frame(
@@ -691,6 +743,8 @@ class BlurAwareTracker:
             # keep last_track_stats aligned with the returned poses: the
             # bootstrap frame has no tracked statistics
             committed_stats.append(np.array([0.0, 0.0]))
+            if cb is not None:
+                cb(0, self.knots)
             i = 1
         # resolve any deferred single-frame keyframe decision first
         self.flush()
@@ -803,6 +857,9 @@ class BlurAwareTracker:
                 for r in range(bad):
                     results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
                     committed_stats.append(stats_np[r])
+                    if cb is not None:
+                        cb(len(results) - 1,
+                           jax.tree.map(lambda x, r=r: x[r], knots_seq))
                 if bad > 0:
                     self.knots = jax.tree.map(lambda x: x[bad - 1], knots_seq)
                     self.neigh_velocity = vel_seq[bad - 1]
@@ -822,6 +879,8 @@ class BlurAwareTracker:
                 )
                 results.append(last_good)
                 committed_stats.append(np.array([np.nan, np.nan]))
+                if cb is not None:
+                    cb(len(results) - 1, None)
                 self.failure_log.append(FailureEvent(
                     cap_time=float(cap_times[i + bad]), reason=reason,
                     avg_flow=float(stats_np[bad, 0]),
@@ -837,6 +896,9 @@ class BlurAwareTracker:
             for r in range(commit):
                 results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
                 committed_stats.append(stats_np[r])
+                if cb is not None:
+                    cb(len(results) - 1,
+                       jax.tree.map(lambda x, r=r: x[r], knots_seq))
 
             last = commit - 1
             # per-level LM iteration counts of the last committed frame
@@ -875,102 +937,311 @@ class BlurAwareTracker:
         )
         return results
 
+    def _joint_valid_range(self, knots) -> Tuple[float, float]:
+        """Host mirror of the joint window's valid sample range."""
+        deg = self.cfg.spline_degree
+        t0 = float(knots.t0)
+        dt = float(knots.dt)
+        K = knots.num_knots
+        if deg >= 4:
+            return t0 + dt, t0 + (K - 2) * dt
+        return t0, t0 + (K - 1) * dt
+
     def track_frames_joint(
         self,
         blur_imgs,
         cap_times,
         exp_times,
+        sharp_imgs=None,
+        depth_maps=None,
         chunk: int = 4,
+        inflight: int = 3,
     ) -> List[Pose]:
-        """Joint multi-frame window tracking (see _track_joint_window_fused):
-        chunks of C frames are optimized as ONE LM problem over a sliding
-        (C + degree - 1)-knot spline window, advanced between chunks by
-        constant-velocity knot extrapolation (PopFront+Insert,
-        Spline.h:146-158). The keyframe stays fixed — this is the
-        reference's <=16-frame / <=16-knot design point
-        (blur_aware_direct_tracker.h:42-47) the per-frame tracker never
-        exercises. Requires: bootstrap via track_frame (first keyframe),
-        uniformly spaced frames, constant exposure.
+        """Joint multi-frame window tracking, production path.
 
+        Chunks of C frames are optimized as ONE LM problem over a sliding
+        (C + degree + 1)-knot spline window (see _track_joint_window_fused)
+        — the reference's <=16-frame / <=16-knot design point
+        (blur_aware_direct_tracker.h:42-47) and the configuration that makes
+        degree-4 cubics well-posed. Unlike the r03 demo path this carries
+        the full tracking protocol of :meth:`track_frames`:
+
+          * keyframe decisions fire from the per-chunk statistics; on a
+            switch the window re-anchors to identity at the fired frame
+            (spline_transform_to), the pose folds into the global chain,
+            and the tail of the sequence re-tracks against the new keyframe
+            — speculative chunks are discarded exactly like track_frames;
+          * failure detection / elastic recovery: an unhealthy frame is
+            rejected, the pre-chunk window restored, the last good pose
+            held, and tracking resumes after the gap (the traced knot-slide
+            count absorbs the timing gap);
+          * non-uniform frame timing and per-frame exposures are supported:
+            the knot interval is fixed at init and the host slides the
+            window an integer number of knots per chunk to cover each
+            chunk's exposures (caps/exps are traced arrays — no recompile);
+          * ``inflight`` chunks pipeline speculatively; a host event rolls
+            the speculation back, byte-identical to the sequential schedule.
+
+        First frame bootstraps the keyframe internally (track_frame).
         Returns the global body-to-world poses of all frames.
         """
         cfg = self.cfg
-        if self.is_first_frame:
-            raise RuntimeError("bootstrap the keyframe with track_frame first")
         n = len(cap_times)
-        dt = (float(cap_times[1]) - float(cap_times[0])) if n > 1 else max(
-            float(exp_times[0]), 1e-3)
-        K = chunk + cfg.spline_degree - 1
-        first = False
+        get_sharp = (lambda i: sharp_imgs[i]) if sharp_imgs is not None \
+            else (lambda i: None)
+        get_depth = (lambda i: depth_maps[i]) if depth_maps is not None \
+            else (lambda i: None)
+
+        results: List[Pose] = []
+        committed_stats: List[np.ndarray] = []
+        cb = self.frame_callback
+        i = 0
+        if self.is_first_frame:
+            results.append(self.track_frame(
+                get_sharp(0), blur_imgs[0], float(cap_times[0]),
+                float(exp_times[0]), get_depth(0)))
+            committed_stats.append(np.array([0.0, 0.0]))
+            if cb is not None:
+                cb(0, self.knots)
+            i = 1
+        self.flush()
+
+        # window geometry: K = chunk + degree - 1 knots — exactly the knot
+        # count a chunk's exposures observe under uniform timing (extra
+        # slack knots would sit unobserved and ill-condition the joint
+        # Hessian); under timing jitter partially-observed knots are tied
+        # down by the constant-velocity knot prior below
+        deg = cfg.spline_degree
+        K = chunk + deg - 1
+        dts = np.diff(np.asarray(cap_times, np.float64))
+        dt = float(max(np.median(dts) if len(dts) else 0.0,
+                       float(np.max(np.asarray(exp_times))), 1e-3))
         if (getattr(self, "_joint_knots", None) is None
-                or self._joint_knots.num_knots != K):
+                or self._joint_knots.num_knots != K
+                or abs(float(self._joint_knots.dt) - dt) > 1e-12):
+            lead = dt if deg >= 4 else 0.0
             self._joint_knots = identity_knots(
-                K, t0=float(cap_times[0]) - 0.5 * float(exp_times[0]),
+                K, t0=float(cap_times[i if i < n else 0])
+                - 0.5 * float(np.max(np.asarray(exp_times))) - lead,
                 dt=dt, dtype=self.dtype,
             )
-            first = True
+        max_slide = 4 * K
 
-        kls = self.keyframe_levels
-        results: List[Pose] = []
-        # unlike track_frames there is NO host decision between chunks (the
-        # keyframe is fixed, the knot-window carry is pure device state), so
-        # chunks pipeline unconditionally: keep a few dispatches in flight
-        # and drain result fetches behind them, hiding the per-dispatch link
-        # round-trip completely
-        in_flight: deque = deque()
-        max_in_flight = 3
+        kf_args = lambda: (
+            tuple(l["img"] for l in self.keyframe_levels),
+            tuple(l["grad"] for l in self.keyframe_levels),
+            tuple(l["kp_xy"] for l in self.keyframe_levels),
+            tuple(l["kp_z"] for l in self.keyframe_levels),
+            tuple(l["kp_mask"] for l in self.keyframe_levels),
+            tuple(l["wincache"] for l in self.keyframe_levels),
+            self.pattern,
+            self.K0,
+        )
+        static = dict(
+            num_levels=cfg.num_pyramid_levels,
+            num_virtual_poses=cfg.num_virtual_poses,
+            degree=deg,
+            # a cold multi-frame window's first Gauss-Newton step routinely
+            # overshoots; proper trust-region retry instead of the
+            # reference's terminate-on-reject (see LMOptions). The knot
+            # prior gets a light floor in joint mode: under non-uniform
+            # frame timing a window knot can be only weakly observed, and
+            # the constant-velocity prior keeps it conditioned without
+            # measurably biasing observed directions
+            lm_opts=dataclasses.replace(
+                cfg.lm_options(), retry_rejected_steps=True,
+                knot_prior_weight=max(cfg.lm_options().knot_prior_weight,
+                                      1.0),
+            ),
+            chunk=chunk,
+            max_slide=max_slide,
+        )
 
-        def drain_one():
-            c0, res0 = in_flight.popleft()
-            rt = np.asarray(res0.t)
-            rq = np.asarray(res0.q)
-            for r in range(c0):
-                results.append(Pose(t=rt[r], q=rq[r]))
+        inflight = max(1, int(inflight))
+        pending: deque = deque()
+        i_next = i
 
-        i = 0
-        while i < n:
-            c = min(chunk, n - i)
-            # pad the tail by repeating the last frame (results discarded;
-            # this is the final chunk so the window state after it is moot)
-            idx = list(range(i, i + c)) + [i + c - 1] * (chunk - c)
+        # a single corrupted frame would poison the WHOLE joint chunk (the
+        # LM couples all its frames through shared knots), so non-finite
+        # input frames are screened host-side and excluded from dispatches;
+        # the device-side cost check below remains the backstop for
+        # numerical divergence
+        bad_cache: Dict[int, bool] = {}
+
+        def _input_bad(j: int) -> bool:
+            if j not in bad_cache:
+                bad_cache[j] = not bool(
+                    np.isfinite(np.asarray(blur_imgs[j])).all())
+            return bad_cache[j]
+
+        def _dispatch(i0: int, c: int):
+            idx = list(range(i0, i0 + c)) + [i0 + c - 1] * (chunk - c)
+            caps = np.asarray([float(cap_times[j]) for j in idx])
+            exps = np.asarray([float(exp_times[j]) for j in idx])
+            # integer knot slide so every exposure fits the valid range
+            lo, hi = self._joint_valid_range(self._joint_knots)
+            need_hi = float(caps[-1] + 0.5 * exps[-1])
+            need_lo = float(caps[0] - 0.5 * exps[0])
+            m = max(0, int(np.ceil((need_hi - hi) / dt - 1e-9)))
+            if m > max_slide:
+                raise RuntimeError(
+                    f"joint window must slide {m} > {max_slide} knots — the "
+                    "frame-time gap exceeds the window's reach; re-bootstrap "
+                    "or increase chunk size")
+            if need_lo < lo + m * dt - 1e-9:
+                raise RuntimeError(
+                    "joint window cannot cover the chunk: exposure span "
+                    f"[{need_lo:.4f}, {need_hi:.4f}] vs window "
+                    f"[{lo + m * dt:.4f}, {hi + m * dt:.4f}] — chunk span "
+                    "exceeds (K - degree + 1) knot intervals")
             imgs = jnp.stack(
                 [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
             )
-            scal = jnp.asarray(
-                [float(cap_times[i]), float(exp_times[i]), dt], self.dtype
+            snapshot = self._joint_knots
+            out = _track_joint_window_fused(
+                self._joint_knots, self.T_keyframe,
+                jnp.int32(m), jnp.asarray(caps, self.dtype),
+                jnp.asarray(exps, self.dtype), imgs, *kf_args(), **static,
             )
-            kf_args = (
-                tuple(l["img"] for l in kls),
-                tuple(l["grad"] for l in kls),
-                tuple(l["kp_xy"] for l in kls),
-                tuple(l["kp_z"] for l in kls),
-                tuple(l["kp_mask"] for l in kls),
-                self.pattern,
-                self.K0,
-            )
-            static = dict(
-                num_levels=cfg.num_pyramid_levels,
-                num_virtual_poses=cfg.num_virtual_poses,
-                degree=cfg.spline_degree,
-                # a cold multi-frame window's first Gauss-Newton step
-                # routinely overshoots; proper trust-region retry instead of
-                # the reference's terminate-on-reject (see LMOptions)
-                lm_opts=dataclasses.replace(
-                    cfg.lm_options(), retry_rejected_steps=True
-                ),
-                chunk=chunk,
-            )
-            self._joint_knots, _pose_caps, res = _track_joint_window_fused(
-                self._joint_knots, self.T_keyframe, scal, imgs, *kf_args,
-                do_slide=not first, **static,
-            )
-            first = False
-            in_flight.append((c, res))
-            if len(in_flight) >= max_in_flight:
-                drain_one()
-            i += c
-        while in_flight:
-            drain_one()
+            knots_fin = out[0]
+            self._joint_knots = knots_fin   # optimistic advance
+            return (i0, c, out, snapshot)
+
+        while i_next < n or pending:
+            while i_next < n and len(pending) < inflight:
+                if cfg.auto_recover and _input_bad(i_next):
+                    pending.append(("reject", i_next))
+                    i_next += 1
+                    continue
+                c = min(chunk, n - i_next)
+                if cfg.auto_recover:
+                    for k in range(1, c):
+                        if _input_bad(i_next + k):
+                            c = k
+                            break
+                entry = ("chunk",) + _dispatch(i_next, c)
+                i_next += c
+                pending.append(entry)
+
+            head = pending.popleft()
+            if head[0] == "reject":
+                from ..utils.failure import FailureEvent
+
+                j = head[1]
+                last_good = (
+                    results[-1] if results
+                    else Pose(t=np.asarray(self.T_keyframe.t),
+                              q=np.asarray(self.T_keyframe.q))
+                )
+                results.append(last_good)
+                committed_stats.append(np.array([np.nan, np.nan]))
+                if cb is not None:
+                    cb(len(results) - 1, None)
+                self.failure_log.append(FailureEvent(
+                    cap_time=float(cap_times[j]),
+                    reason="non-finite input frame",
+                    avg_flow=float("nan"), avg_kernel=float("nan"),
+                ))
+                continue
+
+            _tag, i, c, out, snapshot = head
+            knots_fin, pose_caps, _res, host_pack = out
+            pack = np.asarray(host_pack)    # ONE fetch per chunk
+            stats_np = pack[:, :2]
+            costs_np = pack[:, 2]
+
+            bad = -1
+            reason = ""
+            if cfg.auto_recover:
+                from ..utils.failure import FailureEvent, stats_healthy
+
+                for r in range(c):
+                    ok, reason = stats_healthy(
+                        float(stats_np[r, 0]), float(stats_np[r, 1]),
+                        cfg.max_sane_flow, float(costs_np[r]),
+                    )
+                    if not ok:
+                        bad = r
+                        break
+
+            fired = -1
+            scan_end = c if bad < 0 else bad
+            for r in range(scan_end):
+                flow, kern = float(stats_np[r, 0]), float(stats_np[r, 1])
+                is_kf = (
+                    flow > cfg.keyframe_max_flow_mag0
+                    and kern < cfg.keyframe_max_blur_kernel_mag
+                ) or flow > cfg.keyframe_max_flow_mag1
+                j = i + r
+                if is_kf and get_sharp(j) is not None \
+                        and get_depth(j) is not None:
+                    fired = r
+                    break
+
+            if bad >= 0 and fired < 0:
+                # commit healthy frames before the failure (joint solve:
+                # they were optimized together with the failed frame, which
+                # is the joint-mode analogue of speculative commit), restore
+                # the pre-chunk window, hold the last good pose for the
+                # rejected frame, resume after it
+                for r in range(bad):
+                    results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
+                    committed_stats.append(stats_np[r])
+                    if cb is not None:
+                        cb(len(results) - 1, knots_fin)
+                self._joint_knots = snapshot
+                last_good = (
+                    results[-1] if results
+                    else Pose(t=np.asarray(self.T_keyframe.t),
+                              q=np.asarray(self.T_keyframe.q))
+                )
+                results.append(last_good)
+                committed_stats.append(np.array([np.nan, np.nan]))
+                if cb is not None:
+                    cb(len(results) - 1, None)
+                self.failure_log.append(FailureEvent(
+                    cap_time=float(cap_times[i + bad]), reason=reason,
+                    avg_flow=float(stats_np[bad, 0]),
+                    avg_kernel=float(stats_np[bad, 1]),
+                ))
+                pending.clear()
+                i_next = i + bad + 1
+                continue
+
+            commit = c if fired < 0 else fired + 1
+            for r in range(commit):
+                results.append(Pose(t=pack[r, 3:6], q=pack[r, 6:10]))
+                committed_stats.append(stats_np[r])
+                if cb is not None:
+                    cb(len(results) - 1, knots_fin)
+            self.avg_kernel_length = float(stats_np[commit - 1, 1])
+
+            if fired >= 0:
+                # keyframe switch: fold pose(cap_fired) into the global
+                # chain, re-anchor the WINDOW to identity there
+                # (spline_transform_to — Spline.h:184-201), process the new
+                # keyframe, and re-track the tail against it
+                j = i + fired
+                cap_j = jnp.asarray(float(cap_times[j]), self.dtype)
+                pose_j = spline_pose_at(knots_fin, cap_j, deg)
+                self.process_keyframe(get_sharp(j), get_depth(j))
+                self.T_keyframe = pose_compose(self.T_keyframe, pose_j)
+                ident = Pose(
+                    t=jnp.zeros(3, self.dtype),
+                    q=jnp.asarray([0.0, 0.0, 0.0, 1.0], self.dtype),
+                )
+                self._joint_knots = spline_transform_to(
+                    knots_fin, cap_j, ident, deg
+                )
+                self._backend_keyframe(
+                    get_sharp(j), get_depth(j), float(cap_times[j])
+                )
+                pending.clear()
+                i_next = i + commit
+            # no event: the optimistic knot advance IS the committed state
+        self.last_track_stats = (
+            np.stack(committed_stats) if committed_stats else None
+        )
         return results
 
     def _submit_chunk(self, imgs, scalars):
@@ -989,6 +1260,7 @@ class BlurAwareTracker:
             tuple(l["kp_xy"] for l in kls),
             tuple(l["kp_z"] for l in kls),
             tuple(l["kp_mask"] for l in kls),
+            tuple(l["wincache"] for l in kls),
             self.pattern,
             self.K0,
             num_levels=cfg.num_pyramid_levels,
@@ -1038,6 +1310,7 @@ class BlurAwareTracker:
             tuple(l["kp_xy"] for l in kls),
             tuple(l["kp_z"] for l in kls),
             tuple(l["kp_mask"] for l in kls),
+            tuple(l["wincache"] for l in kls),
             self.pattern,
             self.K0,
             num_levels=cfg.num_pyramid_levels,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,8 +131,10 @@ def _tracker_state_pytree(tracker) -> Dict[str, Any]:
         }
         if tracker.knots is not None
         else {},
+        # wincache is derived data (recomputed at load from img/grad/kp_xy)
         "keyframe_levels": [
-            {k: v for k, v in lvl.items()} for lvl in tracker.keyframe_levels
+            {k: v for k, v in lvl.items() if k != "wincache"}
+            for lvl in tracker.keyframe_levels
         ],
         "scalars": {
             "is_first_frame": np.asarray(tracker.is_first_frame),
@@ -181,6 +184,18 @@ def load_tracker_state(tracker, path: str) -> None:
         {k: jnp.asarray(v) for k, v in lvl.items()}
         for lvl in state["keyframe_levels"]
     ]
+    # rebuild the derived keyframe window caches (not serialized)
+    from ..ops.window_sampling import extract_windows, stack_image_channels
+
+    for lvl in tracker.keyframe_levels:
+        if tracker.cfg.sampling == "windowed":
+            chans = stack_image_channels(lvl["img"], lvl["grad"])
+            wins, starts = extract_windows(
+                chans, lvl["kp_xy"], tracker.cfg.sampling_window
+            )
+            lvl["wincache"] = (jax.lax.stop_gradient(wins), starts)
+        else:
+            lvl["wincache"] = None
     sc = state["scalars"]
     tracker.is_first_frame = bool(sc["is_first_frame"])
     tracker.prev_timestamp = float(sc["prev_timestamp"])

@@ -43,6 +43,21 @@ def load_tracker_config(path: str) -> TrackerConfig:
         return tracker_config_from_dict(json.load(f))
 
 
+def backend_config_from_dict(data: Dict[str, Any]):
+    """BackendConfig from JSON (nested 'detector' / 'ba' / 'pose_graph'
+    dicts supported; unknown keys error like the tracker config)."""
+    from ..backend.ba import BAOptions
+    from ..backend.pose_graph import PoseGraphOptions
+    from ..backend.vo_backend import BackendConfig
+
+    data = dict(data)
+    if isinstance(data.get("ba"), dict):
+        data["ba"] = _build(BAOptions, data["ba"])
+    if isinstance(data.get("pose_graph"), dict):
+        data["pose_graph"] = _build(PoseGraphOptions, data["pose_graph"])
+    return _build(BackendConfig, data)
+
+
 def tracker_config_to_dict(cfg: TrackerConfig) -> Dict[str, Any]:
     d = dataclasses.asdict(cfg)
     return d

@@ -1,0 +1,184 @@
+"""Non-planar synthetic scenes (data.scene3d): renderer exactness and
+tracker accuracy under real depth variation — the credibility gate for
+BASELINE config 3 that planar fixtures cannot provide (VERDICT r03
+missing #3: every prior accuracy artifact lived on a constant-depth
+plane, where the frontoparallel inverse warp is exact by construction)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mba_vo_tpu.core import lie
+from mba_vo_tpu.core.spline import spline_pose_at
+from mba_vo_tpu.data import scene3d
+from mba_vo_tpu.tracker.blur_tracker import BlurAwareTracker, TrackerConfig
+from mba_vo_tpu.tracker.detector import DetectorOptions
+
+from test_tracker import (
+    DEGREE,
+    DEPTH,
+    EXPOSURE,
+    FRAME_DT,
+    H,
+    KVEC,
+    W,
+    generate_sequence,
+    smooth_texture,
+    world_spline,
+)
+
+QID = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+K = jnp.asarray(KVEC)
+
+
+def _flat_scene(depth=DEPTH):
+    """Degenerate Scene3D: frontoparallel plane, no spheres — must agree
+    with the planar pipeline exactly."""
+    tex = smooth_texture(H, W, seed=5)
+    s = scene3d.default_scene(tex, depth=depth, tilt_deg=0.0, num_spheres=0)
+    # align the texture scale so 1 texture pixel = 1 image pixel at `depth`
+    return s._replace(texture_scale=jnp.asarray(KVEC[0] / depth))
+
+
+class TestRenderer:
+    def test_flat_scene_depth_is_constant(self):
+        s = _flat_scene()
+        z = scene3d.scene_depth_map(s, jnp.zeros(3), QID, K, H, W)
+        np.testing.assert_allclose(np.asarray(z), DEPTH, rtol=1e-6)
+
+    def test_flat_scene_identity_render_is_texture(self):
+        s = _flat_scene()
+        img, _ = scene3d.render_scene(s, jnp.zeros(3), QID, K, H, W)
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(s.texture), atol=1e-3
+        )
+
+    def test_on_axis_sphere_depth(self):
+        tex = smooth_texture(H, W, seed=5)
+        s = scene3d.default_scene(tex, depth=DEPTH, num_spheres=0)
+        s = s._replace(
+            sphere_c=jnp.asarray([[0.0, 0.0, 1.5]]),
+            sphere_r=jnp.asarray([0.3]),
+            sphere_phase=jnp.asarray([0.0]),
+        )
+        z = scene3d.scene_depth_map(s, jnp.zeros(3), QID, K, H, W)
+        cy, cx = int(KVEC[3]), int(KVEC[2])
+        # the principal point sits at x.5 so pixel (cx, cy) is half a pixel
+        # off-axis — the ray tilt shifts the hit by ~8e-5 at this geometry
+        assert abs(float(z[cy, cx]) - (1.5 - 0.3)) < 5e-4
+        # far corner still hits the tilted plane
+        assert float(z[0, 0]) > 1.0
+
+    def test_depth_varies_across_default_scene(self):
+        tex = smooth_texture(H, W, seed=5)
+        s = scene3d.default_scene(tex, depth=DEPTH)
+        z = np.asarray(scene3d.scene_depth_map(s, jnp.zeros(3), QID, K, H, W))
+        assert z.min() > 0.5
+        assert (z.max() - z.min()) / z.mean() > 0.3, (
+            "default scene should span real depth variation")
+
+    def test_multiview_photometric_consistency(self):
+        """Unproject view-A pixels with A's exact depth, reproject into a
+        second view, sample: intensities must match wherever the depth is
+        consistent (no occlusion boundary crossed) — exactness of the
+        renderer's geometry from TWO poses."""
+        tex = smooth_texture(H, W, seed=5)
+        s = scene3d.default_scene(tex, depth=DEPTH)
+        tA = jnp.zeros(3)
+        tB = jnp.asarray([0.02, -0.01, 0.015])
+        qB = lie.quat_exp(jnp.asarray([0.004, -0.008, 0.006]))
+        imA, zA = scene3d.render_scene(s, tA, QID, K, H, W)
+        imB, zB = scene3d.render_scene(s, tB, qB, K, H, W)
+
+        ys, xs = jnp.mgrid[0:H, 0:W]
+        XA = jnp.stack(
+            [
+                zA * (xs - K[2]) / K[0],
+                zA * (ys - K[3]) / K[1],
+                zA,
+            ],
+            axis=-1,
+        )  # world points (view A is identity)
+        XB = lie.quat_rotate(
+            lie.quat_conjugate(qB)[None, None], XA - tB
+        )
+        xB = XB[..., 0] / XB[..., 2] * K[0] + K[2]
+        yB = XB[..., 1] / XB[..., 2] * K[1] + K[3]
+        from mba_vo_tpu.ops.image import bilinear_sample
+
+        samp = bilinear_sample(
+            imB, jnp.stack([xB, yB], -1).reshape(-1, 2)
+        ).reshape(H, W)
+        zsamp = bilinear_sample(
+            zB, jnp.stack([xB, yB], -1).reshape(-1, 2)
+        ).reshape(H, W)
+        inb = (xB > 1) & (xB < W - 2) & (yB > 1) & (yB < H - 2)
+        consistent = jnp.abs(zsamp - XB[..., 2]) < 0.01 * XB[..., 2]
+        m = np.asarray(inb & consistent)
+        err = np.abs(np.asarray(samp - imA))[m]
+        assert m.mean() > 0.8           # most pixels are co-visible
+        assert np.median(err) < 1.0     # sub-quantization photometric match
+
+
+class TestTrackerNonPlanar:
+    def _track(self, scene, num_frames=4):
+        traj = world_spline()
+        sharp0, z0 = scene3d.render_scene(scene, jnp.zeros(3), QID, K, H, W)
+        cfg = TrackerConfig(
+            num_pyramid_levels=3,
+            num_virtual_poses=(5, 5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            min_abs_cost_decrease=1e-6,
+            keyframe_max_flow_mag0=1e9,
+            keyframe_max_flow_mag1=1e9,
+            detector=DetectorOptions(score_threshold=5.0, cell_h=12,
+                                     cell_w=12, max_keypoints=256),
+            dtype="float64",
+        )
+        tracker = BlurAwareTracker(cfg, KVEC, (H, W))
+        tracker.track_frame(np.asarray(sharp0), np.asarray(sharp0), 0.0,
+                            EXPOSURE, np.asarray(z0))
+        errors = []
+        for i in range(1, num_frames + 1):
+            cap = i * FRAME_DT
+            blurred = scene3d.synthesize_blurred_image_scene(
+                scene, traj, DEGREE, cap, EXPOSURE, 5, K, H, W
+            )
+            est = tracker.track_frame(None, np.asarray(blurred), cap,
+                                      EXPOSURE)
+            true_pose = spline_pose_at(traj, cap, DEGREE)
+            errors.append(float(jnp.linalg.norm(est.t - true_pose.t)))
+        return float(np.sqrt(np.mean(np.square(errors))))
+
+    def test_tracks_non_planar_scene(self):
+        """Track a blurred sequence rendered from REAL varying-depth
+        geometry with exact ground-truth depth at the keyframe. The local
+        frontoparallel-patch assumption is now a model approximation, not
+        an identity: the honest bound is ~1 cm at 2 m scene depth /
+        ~6 mm-per-frame motion (vs sub-mm on the planar oracle — see
+        test_nonplanar_vs_planar_documented_gap)."""
+        tex = smooth_texture(H, W, seed=5)
+        scene = scene3d.default_scene(tex, depth=DEPTH)
+        ate = self._track(scene)
+        assert ate < 1e-2, f"non-planar ATE {ate}"
+
+    def test_flat_scene3d_matches_planar_oracle(self):
+        """The degenerate (tilt 0, no spheres) Scene3D must reproduce the
+        planar pipeline's sub-mm recovery — renderer-level regression tying
+        scene3d to the established oracle."""
+        ate = self._track(_flat_scene())
+        assert ate < 1e-3, f"flat-scene ATE {ate}"
+
+    def test_nonplanar_vs_planar_documented_gap(self):
+        """Document the planar -> non-planar accuracy gap in one place (the
+        number README cites). Planar stays sub-mm; non-planar stays sub-cm;
+        the ratio is the measured cost of depth-model error."""
+        tex = smooth_texture(H, W, seed=5)
+        ate_planar = self._track(_flat_scene())
+        ate_3d = self._track(scene3d.default_scene(tex, depth=DEPTH))
+        print(f"planar ATE {ate_planar:.2e} m, non-planar ATE {ate_3d:.2e} m,"
+              f" ratio {ate_3d / max(ate_planar, 1e-12):.1f}x")
+        assert ate_planar < 1e-3
+        assert ate_3d < 1e-2
