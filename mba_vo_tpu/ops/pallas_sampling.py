@@ -61,17 +61,18 @@ def _kernel(win_ref, xy_ref, valid_ref, out_ref):
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - gx))          # [TN, S, win_w]
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - gy))          # [TN, S, win_h]
 
-    # rows first: A[n, (c i), s] = sum_j W[n, c, i, j] wx[n, s, j]
-    Wf = win_ref[:].reshape(TN, C * win_h, win_w)
+    # Y (sublane axis) first — matches window_bilinear_xla's measured-faster
+    # association: A[n, (c j), s] = sum_i W[n, c, i, j] wy[n, s, i]
+    Wt = jnp.swapaxes(win_ref[:], 2, 3).reshape(TN, C * win_w, win_h)
     A = jax.lax.dot_general(
-        Wf, wx,
+        Wt, wy,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=dtype,
-    )                                                      # [TN, C*win_h, S]
-    A = A.reshape(TN, C, win_h, S)
-    # column reduction on the VPU: out[n,c,s] = sum_i A[n,c,i,s] wy[n,s,i]
-    wyT = jnp.swapaxes(wy, 1, 2)[:, None]                  # [TN, 1, win, S]
-    out = jnp.sum(A * wyT, axis=2)                         # [TN, C, S]
+    )                                                      # [TN, C*win_w, S]
+    A = A.reshape(TN, C, win_w, S)
+    # lane-axis reduction on the VPU: out[n,c,s] = sum_j A[n,c,j,s] wx[n,s,j]
+    wxT = jnp.swapaxes(wx, 1, 2)[:, None]                  # [TN, 1, win_w, S]
+    out = jnp.sum(A * wxT, axis=2)                         # [TN, C, S]
     out_ref[:] = out * valid_ref[:][:, None, :]
 
 

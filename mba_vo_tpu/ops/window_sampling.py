@@ -75,11 +75,24 @@ def _use_pallas(dtype) -> bool:
     """Route window sampling through the fused Mosaic kernel on TPU f32
     when MBA_VO_USE_PALLAS=1.
 
-    Opt-IN for now: measured on the real chip (BENCH_KERNELS_r03.json), the
-    XLA lowering fuses this op well (~43 us at N=512, S=320, win=32) while
-    the Pallas dense-hat kernel's batched K=32 matmuls under-fill the MXU
-    (~226 us). The kernel stays as the diff-tested fusion baseline and the
-    vehicle for future tap-sparse variants; bench_kernels.py A/Bs both."""
+    Opt-IN, with r04 measurements behind the decision (kexp experiment
+    sweep on the real chip, summarized in BENCH_KERNELS_r04.json notes):
+
+      * XLA's lowering of the hat-weight contractions is the right TPU
+        program at these shapes; reordering it y-first (window_bilinear_xla)
+        beat the r03 ordering 1.6x at S=320 and 3.6x at the production
+        S=40 shape — that is where the round's sampling-core win came from.
+      * the Pallas dense-hat kernel's batched K=32 matmuls run ~5x slower
+        than XLA's batched-dot emitter under this Mosaic version;
+      * per-sample gather formulations are catastrophic (take_along_axis
+        4-tap: ~550x slower — TPU scalarizes gathers), confirming dense
+        contractions as the only viable structure;
+      * restructured Mosaic variants (swapped contraction layouts,
+        bf16 operands, lane-packed block-diagonal batching) either exceed
+        VMEM at S=320 or crash this toolchain's remote Mosaic compiler.
+
+    The kernel stays as the diff-tested fusion baseline; bench_kernels.py
+    A/Bs both paths every round."""
     if not os.environ.get("MBA_VO_USE_PALLAS"):
         return False
     if dtype != jnp.float32:
@@ -97,12 +110,19 @@ def window_bilinear_xla(
     """Pure-XLA lowering: two einsum contractions with materialized hat
     weights. The differential-test reference for the Pallas kernel, and the
     fallback off-TPU / in f64. Windows may be rectangular (clamped at small
-    pyramid levels, see extract_windows)."""
+    pyramid levels, see extract_windows).
+
+    Contraction order: the Y (sublane) axis of the windows contracts FIRST.
+    Measured on chip this is 1.6x faster than x-first at S=320 and 3.6x at
+    the production S=40 shape (kexp r04): contracting the lane axis (j)
+    first forces an internal window transpose, while the sublane axis (i)
+    contracts natively. Same math, different association — differences are
+    bf16-MXU-pass rounding only."""
     wx = _hat_weights(local_xy[..., 0], windows.shape[-1])   # [N, S, win_w]
     wy = _hat_weights(local_xy[..., 1], windows.shape[-2])   # [N, S, win_h]
-    # rows first: A[n, c, i, s] = sum_j windows[n,c,i,j] * wx[n,s,j]
-    A = jnp.einsum("ncij,nsj->ncis", windows, wx)
-    out = jnp.einsum("ncis,nsi->ncs", A, wy)
+    # columns first: A[n, c, j, s] = sum_i windows[n,c,i,j] * wy[n,s,i]
+    A = jnp.einsum("ncij,nsi->ncjs", windows, wy)
+    out = jnp.einsum("ncjs,nsj->ncs", A, wx)
     return out * valid[:, None, :]
 
 

@@ -161,3 +161,30 @@ class TestViz:
         out = draw_points(img, np.array([[5, 5]]), color=(255, 0, 0), radius=0)
         assert tuple(out[5, 5]) == (255, 0, 0)
         assert tuple(out[0, 0]) == (0, 0, 0)
+
+
+class TestBackendConfigLoading:
+    def test_backend_config_from_dict_nested(self):
+        from mba_vo_tpu.utils.config import backend_config_from_dict
+
+        cfg = backend_config_from_dict({
+            "window_size": 5,
+            "loop_min_matches": 15,
+            "detector": {"score_threshold": 2.0, "cell_h": 12, "cell_w": 12,
+                         "max_keypoints": 128},
+            "ba": {"max_iterations": 7},
+            "pose_graph": {"max_iterations": 11},
+        })
+        assert cfg.window_size == 5
+        assert cfg.loop_min_matches == 15
+        assert cfg.detector.cell_h == 12
+        assert cfg.ba.max_iterations == 7
+        assert cfg.pose_graph.max_iterations == 11
+
+    def test_backend_config_unknown_key_errors(self):
+        import pytest
+
+        from mba_vo_tpu.utils.config import backend_config_from_dict
+
+        with pytest.raises(ValueError, match="unknown"):
+            backend_config_from_dict({"not_a_knob": 1})
