@@ -42,56 +42,61 @@ def bench_sampling_core(records):
     from mba_vo_tpu.ops.window_sampling import window_bilinear_xla
 
     rng = np.random.default_rng(0)
-    N, C, win, S = 512, 3, 32, 320    # 512 kp x (8 px * 40 samples)
-    windows = jnp.asarray(rng.normal(0, 1, (N, C, win, win)), jnp.float32)
-    xy = jnp.asarray(rng.uniform(-2, win + 1, (N, S, 2)), jnp.float32)
-    valid = jnp.asarray(rng.integers(0, 2, (N, S)), jnp.float32)
+    N, C, win = 512, 3, 32
+    # S=320 = the historical bench shape (8-frame joint window);
+    # S=40 = the PRODUCTION single-frame tracking shape (8 px x 5 poses)
+    for S in (320, 40):
+        windows = jnp.asarray(rng.normal(0, 1, (N, C, win, win)), jnp.float32)
+        xy = jnp.asarray(rng.uniform(-2, win + 1, (N, S, 2)), jnp.float32)
+        valid = jnp.asarray(rng.integers(0, 2, (N, S)), jnp.float32)
 
-    # correctness gate first: the Pallas kernel must match XLA on-chip
-    if pallas_available():
-        ref = window_bilinear_xla(windows, xy, valid)
-        out = pallas_window_bilinear(windows, xy, valid)
-        maxdiff = float(jnp.abs(ref - out).max())
-    else:
-        maxdiff = None
+        # correctness gate first: the Pallas kernel must match XLA on-chip
+        if pallas_available():
+            ref = window_bilinear_xla(windows, xy, valid)
+            out = pallas_window_bilinear(windows, xy, valid)
+            maxdiff = float(jnp.abs(ref - out).max())
+        else:
+            maxdiff = None
 
-    def make(f, R):
-        @jax.jit
-        def run(w, x, v):
-            def body(c, _):
-                out = f(w, x + c, v)     # carry dependence: serialized
-                return out.sum() * 1e-30, None
-            total, _ = lax.scan(body, jnp.float32(0.0), None, length=R)
-            return total
-        return run
+        def make(f, R):
+            @jax.jit
+            def run(w, x, v):
+                def body(c, _):
+                    out = f(w, x + c, v)     # carry dependence: serialized
+                    return out.sum() * 1e-30, None
+                total, _ = lax.scan(body, jnp.float32(0.0), None, length=R)
+                return total
+            return run
 
-    impls = [("xla_einsum", window_bilinear_xla)]
-    if pallas_available():
-        impls.append(
-            ("pallas_fused", lambda w, x, v: pallas_window_bilinear(w, x, v))
-        )
-    for name, f in impls:
-        g1, g2 = make(f, 200), make(f, 5200)
-        float(g1(windows, xy, valid))
-        float(g2(windows, xy, valid))
-        t0 = time.time(); float(g1(windows, xy, valid)); t1 = time.time()
-        float(g2(windows, xy, valid)); t2 = time.time()
-        per = ((t2 - t1) - (t1 - t0)) / 5000
-        io_gb = (N * C * win * win + N * S * 3 + N * C * S) * 4 / 1e9
-        flops = 2 * N * C * win * win * S + 2 * N * C * win * S
-        rec = {
-            "section": "sampling_core",
-            "impl": name,
-            "keypoints": N, "channels": C, "window": win, "samples": S,
-            "iter_us": round(per * 1e6, 2),
-            "min_traffic_GBps": round(io_gb / per, 1),
-            "hbm_roofline_frac": round(io_gb / per / HBM_PEAK_GBPS, 3),
-            "dense_equiv_TFLOPs": round(flops / per / 1e12, 2),
-            "mxu_bf16_frac": round(flops / per / 1e12 / BF16_PEAK_TFLOPS, 3),
-            "pallas_vs_xla_max_abs_diff": maxdiff,
-        }
-        print(json.dumps(rec), flush=True)
-        records.append(rec)
+        impls = [("xla_einsum", window_bilinear_xla)]
+        if pallas_available():
+            impls.append(
+                ("pallas_fused",
+                 lambda w, x, v: pallas_window_bilinear(w, x, v))
+            )
+        for name, f in impls:
+            g1, g2 = make(f, 200), make(f, 5200)
+            float(g1(windows, xy, valid))
+            float(g2(windows, xy, valid))
+            t0 = time.time(); float(g1(windows, xy, valid)); t1 = time.time()
+            float(g2(windows, xy, valid)); t2 = time.time()
+            per = ((t2 - t1) - (t1 - t0)) / 5000
+            io_gb = (N * C * win * win + N * S * 3 + N * C * S) * 4 / 1e9
+            flops = 2 * N * C * win * win * S + 2 * N * C * win * S
+            rec = {
+                "section": "sampling_core",
+                "impl": name,
+                "keypoints": N, "channels": C, "window": win, "samples": S,
+                "iter_us": round(per * 1e6, 2),
+                "min_traffic_GBps": round(io_gb / per, 1),
+                "hbm_roofline_frac": round(io_gb / per / HBM_PEAK_GBPS, 3),
+                "dense_equiv_TFLOPs": round(flops / per / 1e12, 2),
+                "mxu_bf16_frac": round(
+                    flops / per / 1e12 / BF16_PEAK_TFLOPS, 3),
+                "pallas_vs_xla_max_abs_diff": maxdiff,
+            }
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
 
 
 def main():
@@ -222,6 +227,12 @@ def main():
                 "dense_equiv_TFLOPs counts the dense hat-matmul formulation "
                 "whose useful work is only ~4 taps/sample, so MXU fractions "
                 "are a utilization ceiling, not a target.",
+                "r04: sampling core reordered y-first (sublane axis "
+                "contracts first; lane-first forced an internal window "
+                "transpose) — 3.6x at the production S=40 shape. Variant "
+                "sweep (per-sample gathers ~550x slower; Mosaic "
+                "restructurings VMEM-bound or compiler-crashing) recorded "
+                "in ops/window_sampling._use_pallas.",
                 "r01->r02 tracked-fps regression (99.9 -> 89.9): bench.py "
                 "wall time over the remote-attached chip includes tunnel "
                 "dispatch latency (~5-7 ms per individual op dispatch, "

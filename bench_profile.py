@@ -192,6 +192,25 @@ def main():
         return out
     t_frame = timed("frame_full", frame_wrap, cur_img, n1=5, n2=55)
 
+    # per-frame work OUTSIDE the LM levels: current-frame pyramid build,
+    # constant-velocity pre-track, pose/stats post-track
+    def pyr_fn(c, img):
+        p = image_pyramid(img + c * 1e-20, 3)
+        return c + p[-1][0, 0] * 1e-20
+    timed("frame_pyramid", pyr_fn, cur_img)
+
+    from mba_vo_tpu.tracker.blur_tracker import _post_track, _pre_track
+
+    def prepost_fn(c, k):
+        k2 = _pre_track(jax.tree.map(lambda x: x + 0 * c, k),
+                        tracker.neigh_velocity, scal[0], scal[3], scal[4])
+        pose_cap, vel, fl, kern = _post_track(
+            k2, tracker.T_prev_b2w, scal[1], scal[0],
+            kf_xy[0], kf_z[0], kf_m[0],
+            jnp.asarray(KVEC, jnp.float32), scal[2], DEG)
+        return c + fl * 1e-20
+    timed("frame_prepost_stats", prepost_fn, knots)
+
     iters_per_level = []
     for lv in (2, 1, 0):
         data = levels[lv]
