@@ -153,6 +153,34 @@ class TestCliEth3dEndToEnd:
                      extra=("--joint-window",))
         assert ate < 5e-3, ate
 
+    def test_joint_window_degree4(self, eth3d_fixture):
+        """Degree-4 (cumulative cubic) spline end-to-end through the CLI in
+        joint-window mode — the configuration that makes deg-4 well-posed
+        (multi-frame coupling across shared knots)."""
+        root = eth3d_fixture
+        cfg = json.loads((root / "config.json").read_text())
+        cfg["spline_degree"] = 4
+        (root / "config_deg4.json").write_text(json.dumps(cfg))
+        args = [
+            "track",
+            "--images", str(root / "images"),
+            "--sharp-images", str(root / "sharp"),
+            "--depths", str(root / "depths"),
+            "--dataset-type", "eth3d",
+            "--times", str(root / "times.txt"),
+            "--intrinsics", ",".join(str(v) for v in KVEC),
+            "--output", str(root / "est_deg4.txt"),
+            "--chunk", "3", "--joint-window",
+            "--config", str(root / "config_deg4.json"),
+        ]
+        assert cli.main(args) == 0
+        _, est_t, _ = ds.load_tum_trajectory(str(root / "est_deg4.txt"))
+        _, ref_t, _ = ds.load_tum_trajectory(str(root / "groundtruth.txt"))
+        n = min(len(est_t), len(ref_t))
+        err = np.linalg.norm(est_t[:n] - ref_t[:n], axis=1)
+        ate = float(np.sqrt(np.mean(err ** 2)))
+        assert ate < 5e-3, ate
+
     def test_backend_flag(self, eth3d_fixture):
         ate = _track(eth3d_fixture, "est_backend.txt", chunk=1,
                      extra=("--backend", "ba", "--backend-window", "4"))
