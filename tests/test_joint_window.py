@@ -200,6 +200,51 @@ class TestJointWindow:
         ate = float(np.sqrt(np.mean(errs ** 2)))
         assert ate < 2e-3, (ate, errs)
 
+    def test_joint_mode_with_backend(self):
+        """Joint-window tracking with the BA backend attached: keyframe
+        switches must hand keyframes to the backend (landmark map grows)
+        and accuracy must stay within the keyframe-switch bound."""
+        from mba_vo_tpu.backend.vo_backend import BackendConfig, VOBackend
+        from mba_vo_tpu.data.synthetic import warp_image
+
+        img0, traj, frames = generate_sequence(6)
+        cfg = TrackerConfig(
+            num_pyramid_levels=2,
+            num_virtual_poses=(5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            min_abs_cost_decrease=1e-6,
+            keyframe_max_flow_mag0=0.1,
+            keyframe_max_flow_mag1=0.2,
+            keyframe_max_blur_kernel_mag=1e9,
+            detector=DetectorOptions(score_threshold=5.0, cell_h=12,
+                                     cell_w=12, max_keypoints=256),
+            dtype="float64",
+        )
+        be = VOBackend(BackendConfig(window_size=4), np.asarray(KVEC))
+        tracker = BlurAwareTracker(cfg, KVEC, (H, W), backend=be)
+        caps = [c for c, _ in frames]
+        imgs = [np.asarray(b) for _, b in frames]
+        K = jnp.asarray(KVEC)
+        sharps, depths = [], []
+        for cap in caps:
+            p = spline_pose_at(traj, cap, 2)
+            sharps.append(np.asarray(warp_image(img0, p.t, p.q, DEPTH, K)))
+            depths.append(np.full((H, W), DEPTH - float(p.t[2]),
+                                  dtype=np.float32))
+        depth0 = np.full((H, W), DEPTH, dtype=np.float32)
+        tracker.track_frame(np.asarray(img0), np.asarray(img0), 0.0,
+                            EXPOSURE, depth0)
+        poses = tracker.track_frames_joint(
+            imgs, caps, [EXPOSURE] * len(caps),
+            sharp_imgs=sharps, depth_maps=depths, chunk=3,
+        )
+        assert len(poses) == 6
+        assert len(be.keyframes) >= 3     # switches reached the backend
+        assert len(be.landmarks) > 10     # and built a map
+        errs = _errors(poses, caps, traj)
+        assert max(errs) < 1e-2, errs
+
     def test_tail_chunk_padding(self):
         img0, traj, frames = generate_sequence(6)
         depth = np.full((H, W), DEPTH, dtype=np.float32)
