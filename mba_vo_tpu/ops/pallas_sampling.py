@@ -21,7 +21,8 @@ here one grid step owns a keypoint TILE and the per-sample loop becomes an
 MXU contraction over the window rows.
 
 Semantics are bit-compatible with window_bilinear (same operation order:
-row contraction first, then column reduction); `pallas_window_bilinear` is
+y/sublane contraction first, then the lane-axis reduction — the measured-
+faster association, see window_bilinear_xla); `pallas_window_bilinear` is
 differentiation-free by design — it is called under
 ops.window_sampling.sample_windows_lk's custom JVP, which routes position
 tangents through the gradient channels, so no grad rules are needed here.
@@ -37,9 +38,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keypoints per grid step: VMEM per step is
-#   TILE_N * (C*win*win + ~4*S) * 4 B  ->  ~1.6 MB at C=3, win=32, S=320
+# keypoints per grid step. VMEM per step scales with
+# TILE_N * (C*win*win + ~4*S + C*win*S) * 4 B: the row-contracted
+# intermediate [TN, C, win, S] dominates at large S (TN=128 @ S=320 would
+# need ~16 MB and fails to compile), while small-S production shapes run
+# measurably faster with bigger tiles (17.9 us @ TILE 128 vs 21 us @ 32 at
+# S=40, r04). Chosen per call in pallas_window_bilinear.
 TILE_N = 32
+
+
+def _tile_for(S: int) -> int:
+    return 128 if S <= 64 else TILE_N
 
 
 def _kernel(win_ref, xy_ref, valid_ref, out_ref):
@@ -91,8 +100,9 @@ def pallas_window_bilinear(
     N, C, win_h, win_w = windows.shape
     S = local_xy.shape[1]
     dtype = windows.dtype
+    tile = _tile_for(S)
 
-    n_pad = (-N) % TILE_N
+    n_pad = (-N) % tile
     if n_pad:
         windows = jnp.concatenate(
             [windows, jnp.zeros((n_pad, C, win_h, win_w), dtype)], axis=0
@@ -107,16 +117,16 @@ def pallas_window_bilinear(
 
     out = pl.pallas_call(
         _kernel,
-        grid=(Np // TILE_N,),
+        grid=(Np // tile,),
         in_specs=[
-            pl.BlockSpec((TILE_N, C, win_h, win_w), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((tile, C, win_h, win_w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, S, 2), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, S, 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, S), lambda i: (i, 0),
+            pl.BlockSpec((tile, S), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, C, S), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile, C, S), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, C, S), dtype),
         cost_estimate=pl.CostEstimate(
