@@ -202,6 +202,41 @@ def patch_pixel_grid(anchors: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
 # -------------------------------------------------------------------- residuals
 
 
+def affine_correct(pred: jnp.ndarray, obs: jnp.ndarray,
+                   valid: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame affine-brightness-eliminated residual.
+
+    Real blurred sequences carry photometric disturbance the reference's
+    pure-intensity model (compute_pixel_intensity.h:26-72) cannot express:
+    exposure/gain drift and vignetting. Instead of adding 2F unknowns to
+    the LM state, the per-frame gain/bias pair is eliminated in CLOSED FORM
+    inside every evaluation (profile likelihood): for frame f, (a, b) =
+    argmin sum_valid (pred - a*obs - b)^2 via the least-squares normal
+    equations, then r = pred - a*obs - b. This is mathematically the joint
+    optimum over (pose, a, b) along the (a, b) directions, costs two
+    reductions per frame (TPU-friendly, no solver-shape change), and
+    differentiates correctly through ``pred``. Degenerate frames
+    (textureless obs) fall back to (a, b) = (1, 0) — the uncorrected
+    residual.
+
+    pred, obs, valid: [F, N, P]. Returns [F, N, P] residuals (0 where
+    invalid).
+    """
+    v = valid.astype(pred.dtype)
+    n = jnp.maximum(v.sum(axis=(1, 2)), 1.0)                     # [F]
+    mx = (obs * v).sum(axis=(1, 2)) / n
+    my = (pred * v).sum(axis=(1, 2)) / n
+    dx = (obs - mx[:, None, None]) * v
+    dy = (pred - my[:, None, None]) * v
+    var = (dx * dx).sum(axis=(1, 2)) / n
+    cov = (dx * dy).sum(axis=(1, 2)) / n
+    ok = var > 1e-6
+    a = jnp.where(ok, cov / jnp.where(ok, var, 1.0), 1.0)        # [F]
+    b = jnp.where(ok, my - a * mx, 0.0)
+    r = pred - a[:, None, None] * obs - b[:, None, None]
+    return jnp.where(valid, r, 0.0)
+
+
 def _current_intensity(cur_imgs: jnp.ndarray, pix: jnp.ndarray) -> jnp.ndarray:
     """Gather observed intensities at integer pixel positions [F, N, P, 2]."""
     F, H, W = cur_imgs.shape
@@ -212,7 +247,7 @@ def _current_intensity(cur_imgs: jnp.ndarray, pix: jnp.ndarray) -> jnp.ndarray:
 
 def compute_residuals(
     knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
-    with_jacobian: bool,
+    with_jacobian: bool, affine: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Residual field r [F, N, P], its Jacobian J [F, N, P, 6K] (or None), and
     the valid-pixel mask [F, N, P].
@@ -276,7 +311,10 @@ def compute_residuals(
         J = None
 
     pred = I.mean(axis=-1)  # [F, N, P]
-    r = jnp.where(valid, pred - obs, 0.0)
+    if affine:
+        r = affine_correct(pred, obs, valid)
+    else:
+        r = jnp.where(valid, pred - obs, 0.0)
     return r, J, valid
 
 
@@ -297,9 +335,42 @@ def prepare_window_cache(
     return jax.lax.stop_gradient(windows), starts
 
 
+def prepare_frame_layout(
+    knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(pix, valid_center, obs): the current-frame patch layout + observed
+    intensities at the given knot state.
+
+    The layout is "a decision, not part of the objective" (see
+    patch_anchors): residuals compare prediction and observation at the
+    SAME pixel set, so which exact set is sampled does not bias the
+    optimum. That makes this hoistable out of the LM while_loop — the obs
+    gather is a per-sample image gather that XLA scalarizes on TPU
+    (measured ~40 us per call at the production 512x8 shape,
+    PROFILE_r05), and re-running it per LM iteration was the single
+    largest unattributed chunk of r04's frame time. solver.lm.optimize_level
+    computes this ONCE per pyramid level (the reference recomputes patch
+    centers per iteration, compute_local_patches_xy.cu:9-50 — per *level*
+    re-anchoring keeps the same coarse-to-fine layout-refresh cadence at
+    3 refreshes per frame).
+    """
+    H, W = data.img_ref.shape
+    pt0, pq0 = sample_virtual_poses(
+        knots, data.cap_times, data.exp_times, num_vir, degree
+    )
+    mid = num_vir // 2
+    anchors = patch_anchors(pt0[:, mid], pq0[:, mid], data.kp_xy, data.kp_z,
+                            data.K)
+    pix = patch_pixel_grid(anchors, data.pattern)        # [F, N, P, 2]
+    valid_center = in_bounds(pix, H, W) & (data.kp_mask[None, :, None] > 0)
+    obs = _current_intensity(data.cur_imgs, pix)
+    return pix, valid_center, obs
+
+
 def compute_residuals_windowed(
     knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
-    with_jacobian: bool, window: int = 32, cache=None,
+    with_jacobian: bool, window: int = 32, cache=None, layout=None,
+    affine: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Gather-free variant of :func:`compute_residuals`.
 
@@ -312,6 +383,11 @@ def compute_residuals_windowed(
     derivative convention, averaging over virtual poses) are identical, and
     the Jacobian is produced by ``jax.linearize`` over the global knot
     tangent, reusing one primal pass for all 6K tangent seeds.
+
+    ``layout``: optional (pix, valid_center, obs) from
+    :func:`prepare_frame_layout` — pass it to evaluate several knot
+    candidates against one frozen patch layout (the LM loop hoists it per
+    level). None recomputes it here at ``knots``.
     """
     F = data.cur_imgs.shape[0]
     H, W = data.img_ref.shape
@@ -321,20 +397,24 @@ def compute_residuals_windowed(
     dtype = knots.t.dtype
 
     # layout (fixed during differentiation, like the reference)
-    pt0, pq0 = sample_virtual_poses(
-        knots, data.cap_times, data.exp_times, num_vir, degree
-    )
-    mid = num_vir // 2
-    anchors = patch_anchors(pt0[:, mid], pq0[:, mid], data.kp_xy, data.kp_z,
-                            data.K)
-    pix = patch_pixel_grid(anchors, data.pattern)        # [F, N, P, 2]
-    valid_center = in_bounds(pix, H, W) & (data.kp_mask[None, :, None] > 0)
-    obs = _current_intensity(data.cur_imgs, pix)
+    if layout is None:
+        layout = prepare_frame_layout(knots, data, num_vir, degree)
+    pix, valid_center, obs = layout
 
     if cache is None:
         cache = prepare_window_cache(data, window)
     windows, starts = cache                               # [N,3,wh,ww], [N,2]
     starts_f = starts.astype(dtype)
+
+    # N-FIRST internal layout: the sampler wants [N, S]; doing the
+    # F<->N transpose on the layout tensors HERE (iteration- and
+    # tangent-constant) instead of on [F,N,P,V,2] inside residuals_of
+    # keeps the big relayouts out of the differentiated closure, where
+    # jax.linearize would replay them for every one of the 6K tangent
+    # seeds (r04's unprofiled transpose suspect, PROFILE_r04 rjv gap)
+    pix_nf = pix.transpose(1, 0, 2, 3)                    # [N,F,P,2]
+    vc_nf = valid_center.transpose(1, 0, 2)               # [N,F,P]
+    obs_nf = obs.transpose(1, 0, 2)                       # [N,F,P]
 
     def residuals_of(delta: jnp.ndarray) -> jnp.ndarray:
         k = spline_retract(
@@ -343,22 +423,26 @@ def compute_residuals_windowed(
         pt, pq = sample_virtual_poses(
             k, data.cap_times, data.exp_times, num_vir, degree
         )
-        # warp every (f, n, p, v) patch pixel into the reference view
+        # warp every (n, f, p, v) patch pixel into the reference view
         ref_xy = frontoparallel_warp(
-            pt[:, None, None, :, :],            # [F,1,1,V,3]
-            pq[:, None, None, :, :],            # [F,1,1,V,4]
-            data.kp_z[None, :, None, None],     # [1,N,1,1]
+            pt[None, :, None, :, :],            # [1,F,1,V,3]
+            pq[None, :, None, :, :],            # [1,F,1,V,4]
+            data.kp_z[:, None, None, None],     # [N,1,1,1]
             data.K,
-            pix[:, :, :, None, :],              # [F,N,P,1,2]
-        )                                        # [F,N,P,V,2]
+            pix_nf[:, :, :, None, :],           # [N,F,P,1,2]
+        )                                        # [N,F,P,V,2]
         valid_s = in_bounds(ref_xy, H, W)
-        local = ref_xy - starts_f[None, :, None, None, :]
-        loc = local.transpose(1, 0, 2, 3, 4).reshape(N, F * P * num_vir, 2)
-        vs = valid_s.transpose(1, 0, 2, 3).reshape(N, F * P * num_vir)
+        loc = (ref_xy - starts_f[:, None, None, None, :]).reshape(
+            N, F * P * num_vir, 2)
+        vs = valid_s.reshape(N, F * P * num_vir)
         I = sample_windows_lk(windows, loc, vs.astype(dtype))  # [N, S]
-        I = I.reshape(N, F, P, num_vir).transpose(1, 0, 2, 3)  # [F,N,P,V]
-        pred = I.mean(axis=-1)
-        return jnp.where(valid_center, pred - obs, 0.0)
+        pred = I.reshape(N, F, P, num_vir).mean(axis=-1)       # [N,F,P]
+        if affine:
+            # per-frame gain/bias eliminated INSIDE the closure, so
+            # jax.linearize differentiates the full profile likelihood
+            return affine_correct(pred.transpose(1, 0, 2), obs, valid_center)
+        r_nf = jnp.where(vc_nf, pred - obs_nf, 0.0)
+        return r_nf.transpose(1, 0, 2)                         # [F,N,P]
 
     zero = jnp.zeros(6 * Kk, dtype)
     if not with_jacobian:
@@ -399,8 +483,17 @@ def compute_rjv(
     sampling: str = "direct",
     window: int = 32,
     cache=None,
+    layout=None,
+    affine: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Residuals r [F,N,P], Jacobian J [F,N,P,6K] (or None), valid mask.
+
+    ``affine``: per-frame closed-form gain/bias elimination
+    (:func:`affine_correct`) — robustness to photometric drift/vignetting
+    on real sequences. The windowed path differentiates the full profile
+    likelihood; the direct path pairs the corrected residual with the
+    frozen-(a, b) Jacobian (block-coordinate GN — the elimination terms
+    vanish at the optimum).
 
     Mask-independent: the outlier mask only reweights the reductions, so one
     (r, J) computation can be assembled under several masks (the LM loop
@@ -410,9 +503,11 @@ def compute_rjv(
     :833-903, because its arena layout couples evaluation and reduction)."""
     if sampling == "windowed":
         return compute_residuals_windowed(
-            knots, data, num_vir, degree, with_jacobian, window, cache=cache
+            knots, data, num_vir, degree, with_jacobian, window, cache=cache,
+            layout=layout, affine=affine,
         )
-    return compute_residuals(knots, data, num_vir, degree, with_jacobian)
+    return compute_residuals(knots, data, num_vir, degree, with_jacobian,
+                             affine=affine)
 
 
 def _kahan_chunked_normal_eq(Jw: jnp.ndarray, rw: jnp.ndarray,
@@ -530,6 +625,8 @@ def evaluate(
     precision: str = "default",
     compensated: bool = False,
     cache=None,
+    layout=None,
+    affine: bool = False,
 ) -> Evaluation:
     """Full objective evaluation: cost (+ gradient + Gauss-Newton Hessian).
 
@@ -553,7 +650,7 @@ def evaluate(
     """
     r, J, _valid = compute_rjv(
         knots, data, num_vir, degree, with_jacobian, sampling, window,
-        cache=cache,
+        cache=cache, layout=layout, affine=affine,
     )
     return assemble(r, J, data, huber_a, outlier_mask, axis_name,
                     precision=precision, compensated=compensated)

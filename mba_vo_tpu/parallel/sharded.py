@@ -33,7 +33,8 @@ def _sharded_fn(mesh: Mesh, num_vir: int, degree: int, opts: LMOptions):
     knots_spec = SplineKnots(t=P(), q=P(), t0=P(), dt=P())
     data_spec = level_data_specs()
     out_summary_spec = LMSummary(
-        final_cost=P(), num_iterations=P(), outlier_mask=P(KP_AXIS)
+        final_cost=P(), num_iterations=P(), outlier_mask=P(KP_AXIS),
+        patch_costs=P(None, KP_AXIS),
     )
     fn = shard_map(
         partial(
@@ -65,6 +66,51 @@ def optimize_level_sharded(
 
 
 @lru_cache(maxsize=64)
+def optimize_level_shardmapped(
+    mesh: Mesh, num_vir: int, degree: int, opts: LMOptions,
+    with_cache: bool = True,
+):
+    """shard_map-wrapped optimize_level for embedding INSIDE a larger jit —
+    the tracker's fused frame/chunk/joint dispatch (TrackerConfig
+    .shard_devices). Unlike :func:`optimize_level_sharded` this returns the
+    UNJITTED shard_map so the surrounding dispatch (pyramid build,
+    pre/post-track, chunk scan) stays one compiled program; keypoint-indexed
+    inputs — including the keyframe window cache, which is keyframe-constant
+    and must NOT be re-extracted per shard call — shard over KP_AXIS, and
+    the psum-assembled normal equations replicate the knot state on every
+    device (the TPU-collective replacement for the reference's host
+    scatter-add merge, merge_hessian_gradient_cost.cpp:39-86)."""
+    knots_spec = SplineKnots(t=P(), q=P(), t0=P(), dt=P())
+    data_spec = level_data_specs()
+    out_summary_spec = LMSummary(
+        final_cost=P(), num_iterations=P(), outlier_mask=P(KP_AXIS),
+        patch_costs=P(None, KP_AXIS),
+    )
+    if with_cache:
+        def inner(knots, data, cache):
+            return optimize_level(knots, data, num_vir, degree, opts,
+                                  axis_name=KP_AXIS, cache=cache)
+
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=(knots_spec, data_spec, (P(KP_AXIS), P(KP_AXIS))),
+            out_specs=(knots_spec, out_summary_spec),
+            check_vma=False,
+        )
+
+    def inner_nc(knots, data):
+        return optimize_level(knots, data, num_vir, degree, opts,
+                              axis_name=KP_AXIS)
+
+    return shard_map(
+        inner_nc, mesh=mesh,
+        in_specs=(knots_spec, data_spec),
+        out_specs=(knots_spec, out_summary_spec),
+        check_vma=False,
+    )
+
+
+@lru_cache(maxsize=64)
 def _sharded_pod_fn(mesh: Mesh, num_vir: int, degree: int, opts: LMOptions):
     axes = tuple(mesh.axis_names)
     kp_spec = P(axes)   # shard over the flattened (host, device) axes
@@ -74,7 +120,8 @@ def _sharded_pod_fn(mesh: Mesh, num_vir: int, degree: int, opts: LMOptions):
     )
     knots_spec = SplineKnots(t=P(), q=P(), t0=P(), dt=P())
     out_summary_spec = LMSummary(
-        final_cost=P(), num_iterations=P(), outlier_mask=kp_spec
+        final_cost=P(), num_iterations=P(), outlier_mask=kp_spec,
+        patch_costs=P(None, axes),
     )
     fn = shard_map(
         partial(

@@ -32,6 +32,7 @@ Faithfully reproduced reference semantics (documented quirks included):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -46,6 +47,7 @@ from ..ops.residual import (
     assemble,
     compute_rjv,
     evaluate,
+    prepare_frame_layout,
     prepare_window_cache,
 )
 
@@ -97,12 +99,39 @@ class LMOptions:
     # reference has no equivalent because it never ran deg-4 in production
     # (compute_hessian_gradients_cost_fast.cu:465-466 hard-codes deg 2).
     knot_prior_weight: float = 0.0
+    # Per-frame closed-form gain/bias elimination in the residual
+    # (ops.residual.affine_correct): robustness to photometric drift /
+    # vignetting on real sequences — an extension the reference's pure
+    # intensity model cannot express (compute_pixel_intensity.h:26-72).
+    affine_brightness: bool = False
+    # Hoist the current-frame patch layout + obs gather out of the LM loop
+    # (ops.residual.prepare_frame_layout), evaluating every iteration
+    # against the level-entry layout. The r05 profiling round measured the
+    # trade ON REAL HARDWARE and the default is OFF:
+    #   * the obs gather XLA scalarizes on TPU costs 35-120 us/call, so the
+    #     hoist only pays when a level runs >~3 LM iterations — but the
+    #     production steady state runs ~1.1 iterations/level (bench probe),
+    #     where the hoist is a net LOSS (322 vs 350 fps A/B: the separated
+    #     layout ops fuse worse than inside the rjv pass);
+    #   * frozen layouts cost accuracy where corrections are large (joint
+    #     windows at keyframe switches: ~30% ATE; f32-vs-f64 100-frame
+    #     drift margin) — per-iteration re-anchoring matches the reference
+    #     (compute_local_patches_xy.cu:9-50).
+    # Keep ON only for iteration-heavy offline configs (cold starts, tight
+    # min_abs_cost_decrease) where per-iteration gathers dominate.
+    hoist_layout: bool = False
 
 
 class LMSummary(NamedTuple):
     final_cost: jnp.ndarray
     num_iterations: jnp.ndarray
     outlier_mask: jnp.ndarray
+    # [F, N] per-patch Huber costs at the final accepted state. Multi-frame
+    # callers reduce these to PER-FRAME costs (sum over N) so a joint-window
+    # chunk can localize which frame diverged instead of blaming frame 0
+    # (the reference's per-frame tracker gets this for free; its per-patch
+    # triplets are exactly these, blur_aware_direct_tracker.cpp:639-699)
+    patch_costs: jnp.ndarray
 
 
 class _EvaluatorState(NamedTuple):
@@ -245,6 +274,7 @@ class _LMState(NamedTuple):
     outlier_mask: jnp.ndarray
     num_iterations: jnp.ndarray
     abs_cost_decrease: jnp.ndarray
+    patch_costs: jnp.ndarray
 
 
 def optimize_level(
@@ -291,10 +321,24 @@ def optimize_level(
     if cache is None and opts.sampling == "windowed":
         cache = prepare_window_cache(data, opts.window)
 
+    # current-frame patch layout + observed intensities, hoisted per LEVEL:
+    # the obs gather is a per-sample image gather XLA scalarizes on TPU
+    # (~40 us/call at 512 kp — the dominant unattributed rjv time in r04);
+    # the layout is sampling positions, not objective (prepare_frame_layout
+    # docstring), so one level-entry computation serves every LM iteration.
+    # Coarse-to-fine still re-anchors the layout 3x per frame.
+    layout = None
+    if (opts.sampling == "windowed" and opts.hoist_layout
+            and not os.environ.get("MBA_VO_NO_LAYOUT_HOIST")):
+        layout = jax.lax.stop_gradient(
+            prepare_frame_layout(knots, data, num_vir, degree)
+        )
+
     ev0 = evaluate(knots, data, num_vir, degree, opts.huber_a, mask0, True,
                    axis_name=axis_name, sampling=opts.sampling,
                    window=opts.window, precision=opts.precision,
-                   compensated=opts.compensated_sum, cache=cache)
+                   compensated=opts.compensated_sum, cache=cache,
+                   layout=layout, affine=opts.affine_brightness)
     cp0, gp0, Hp0 = prior(knots)
 
     state0 = _LMState(
@@ -308,6 +352,7 @@ def optimize_level(
         outlier_mask=mask0,
         num_iterations=jnp.int32(0),
         abs_cost_decrease=jnp.asarray(1e10, dtype),
+        patch_costs=ev0.patch_costs,
     )
 
     def clip_radius(r):
@@ -352,6 +397,7 @@ def optimize_level(
             r, J, _valid = compute_rjv(
                 cand, data, num_vir, degree, True,
                 sampling=opts.sampling, window=opts.window, cache=cache,
+                layout=layout, affine=opts.affine_brightness,
             )
             ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
                             axis_name=axis_name, precision=opts.precision,
@@ -390,6 +436,7 @@ def optimize_level(
                     outlier_mask=new_mask,
                     num_iterations=s.num_iterations + 1,
                     abs_cost_decrease=acd,
+                    patch_costs=ev_f.patch_costs,
                 )
 
             def reject(s: _LMState):
@@ -416,6 +463,7 @@ def optimize_level(
         final_cost=final.cost,
         num_iterations=final.num_iterations,
         outlier_mask=final.outlier_mask,
+        patch_costs=final.patch_costs,
     )
 
 
