@@ -7,12 +7,22 @@ Scenario = BASELINE.json config 2: blur-aware tracking with 5 virtual poses,
 sequence from the exact forward model. Measures steady-state per-frame
 tracking wall time (full coarse-to-fine LM, keyframe pinned).
 
+``--keyframe`` switches to the KEYFRAME-INCLUSIVE scenario (r04 verdict
+weak #4: the steady-state headline silently assumed keyframes are free):
+real keyframe thresholds (TrackerConfig defaults 15/30 px flow, 3 px
+kernel), per-frame sharp/depth candidates, and a motion that forces
+switches — the amortized fps then pays for process_keyframe (semi-dense
+detection + depth ingestion + window-cache extraction) and the
+chunk-speculation redos a mid-chunk switch triggers (reference
+tmpProcessKeyframe, blur_aware_direct_tracker.cpp:344-416).
+
 The reference publishes no numbers (BASELINE.md); vs_baseline is reported
 against a 30 frames/s real-time tracking budget, the conventional VO
 real-time bar.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -21,7 +31,7 @@ import numpy as np
 REALTIME_BASELINE_FPS = 30.0
 
 
-def main():
+def main(keyframe_mode: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +55,7 @@ def main():
     vel_w = np.array([0.02, 0.05, -0.08])
     kt, kq = [np.zeros(3)], [np.array([0.0, 0.0, 0.0, 1.0])]
     q = kq[0]
-    n_frames = 72
+    n_frames = int(os.environ.get("MBA_VO_BENCH_FRAMES", "72"))
     for _ in range(1, n_frames + 4):
         kt.append(kt[-1] + vel_t * FRAME_DT)
         q = np.asarray(
@@ -74,21 +84,52 @@ def main():
         cap = i * FRAME_DT
         frames.append((cap, np.asarray(synth(jnp.float32(cap)))))
 
-    cfg = TrackerConfig(
-        num_pyramid_levels=3,
-        num_virtual_poses=(5, 5, 5),
-        huber_a=10.0,
-        max_chi_square_error=3.0,
-        keyframe_max_flow_mag0=1e9,
-        keyframe_max_flow_mag1=1e9,
-        detector=DetectorOptions(
-            score_threshold=5.0, cell_h=30, cell_w=30, max_keypoints=512
-        ),
-        dtype="float32",
-    )
+    if keyframe_mode:
+        # real keyframe criteria (TrackerConfig defaults: 15/30 px flow,
+        # 3 px kernel) + per-frame sharp/depth keyframe candidates: this
+        # motion crosses the flow threshold every ~9 frames, so the run
+        # pays detection + depth ingestion + window-cache extraction and
+        # the chunk-speculation redo at every switch
+        cfg = TrackerConfig(
+            num_pyramid_levels=3,
+            num_virtual_poses=(5, 5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            keyframe_max_blur_kernel_mag=1e9,  # flow criterion drives
+            detector=DetectorOptions(
+                score_threshold=5.0, cell_h=30, cell_w=30, max_keypoints=512
+            ),
+            dtype="float32",
+        )
+    else:
+        cfg = TrackerConfig(
+            num_pyramid_levels=3,
+            num_virtual_poses=(5, 5, 5),
+            huber_a=10.0,
+            max_chi_square_error=3.0,
+            keyframe_max_flow_mag0=1e9,
+            keyframe_max_flow_mag1=1e9,
+            detector=DetectorOptions(
+                score_threshold=5.0, cell_h=30, cell_w=30, max_keypoints=512
+            ),
+            dtype="float32",
+        )
     tracker = BlurAwareTracker(cfg, KVEC, (H, W))
     depth = np.full((H, W), DEPTH, np.float32)
     tracker.track_frame(np.asarray(img0), np.asarray(img0), 0.0, EXPOSURE, depth)
+
+    sharps = depths = None
+    if keyframe_mode:
+        from mba_vo_tpu.core.spline import spline_pose_at
+        from mba_vo_tpu.data.synthetic import warp_image
+
+        warp = jax.jit(lambda t, q: warp_image(img0, t, q, DEPTH, Kj))
+        sharps, depths = [], []
+        for cap, _ in frames:
+            p = spline_pose_at(traj, jnp.float32(cap), DEG)
+            sharps.append(np.asarray(warp(p.t, p.q)))
+            depths.append(
+                np.full((H, W), DEPTH - float(p.t[2]), np.float32))
 
     # stage frames on device up front: input prefetch overlaps tracking in
     # production (runtime/dataio.cpp prefetcher); the metric is tracked
@@ -98,39 +139,62 @@ def main():
         for cap, blurred in frames
     ]
 
-    # warmup (compile all three pyramid levels + the chunked scan)
-    CHUNK, INFLIGHT = 12, 3
+    # warmup (compile all three pyramid levels + the chunked scan).
+    # CHUNK=24: the r05 on-chip sweep (CHUNK 8/12/24 x INFLIGHT 3/4, 72
+    # frames) measured 221 / 331-359 / 438 fps — wall time is dominated by
+    # per-dispatch link latency on the remote-attached chip, so doubling
+    # the frames per lax.scan dispatch is the single largest wall lever
+    CHUNK = int(os.environ.get("MBA_VO_BENCH_CHUNK", "24"))
+    INFLIGHT = int(os.environ.get("MBA_VO_BENCH_INFLIGHT", "3"))
     caps = [cap for cap, _ in frames]
     imgs = [blurred for _, blurred in frames]
     exps = [EXPOSURE] * len(frames)
-    est = tracker.track_frames(imgs[:CHUNK], caps[:CHUNK], exps[:CHUNK],
-                               chunk=CHUNK, inflight=INFLIGHT)
-    jax.block_until_ready(est[-1].t)
+
+    def run(lo, hi):
+        kw = {}
+        if keyframe_mode:
+            kw = dict(sharp_imgs=sharps[lo:hi], depth_maps=depths[lo:hi])
+        est = tracker.track_frames(imgs[lo:hi], caps[lo:hi], exps[lo:hi],
+                                   chunk=CHUNK, inflight=INFLIGHT, **kw)
+        jax.block_until_ready(est[-1].t)
+        return est
+
+    n_switches = [0]
+    if keyframe_mode:
+        # count keyframe switches (process_keyframe invocations) so the
+        # artifact records how much keyframe work the amortized fps paid for
+        orig_pk = tracker.process_keyframe
+
+        def counting_pk(s, d):
+            n_switches[0] += 1
+            return orig_pk(s, d)
+
+        tracker.process_keyframe = counting_pk
+
+    run(0, CHUNK)
+    n_switches[0] = 0  # timed segment only
 
     # steady state: 5 full chunks with INFLIGHT dispatches speculatively in
     # flight, so per-chunk stats fetches overlap device compute
-    timed = frames[CHUNK:]
+    n_timed = len(frames) - CHUNK
     t0 = time.time()
-    est = tracker.track_frames(
-        imgs[CHUNK:], caps[CHUNK:], exps[CHUNK:], chunk=CHUNK,
-        inflight=INFLIGHT,
-    )
-    jax.block_until_ready(est[-1].t)
+    run(CHUNK, len(frames))
     wall = time.time() - t0
-    fps = len(timed) / wall
+    fps = n_timed / wall
 
-    print(
-        json.dumps(
-            {
-                "metric": "blur_aware_tracked_frames_per_s_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / REALTIME_BASELINE_FPS, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": ("blur_aware_tracked_frames_per_s_per_chip_incl_keyframes"
+                   if keyframe_mode
+                   else "blur_aware_tracked_frames_per_s_per_chip"),
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REALTIME_BASELINE_FPS, 3),
+    }
+    if keyframe_mode:
+        rec["num_keyframe_switches_timed"] = n_switches[0]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
     sys.path.insert(0, ".")
-    main()
+    main(keyframe_mode="--keyframe" in sys.argv)

@@ -247,20 +247,42 @@ def main():
               traffic_bytes=win_bytes)
 
         cache = res.prepare_window_cache(data, 32)
+        layout0 = res.prepare_frame_layout(knots, data, V, DEG)
 
-        def rjv(c, d, wj):
+        def rjv(c, d, wj, use_layout):
             r, J, _ = res.compute_rjv(
                 jax.tree.map(lambda x: x + 0 * c, knots), d, V, DEG, wj,
-                sampling="windowed", window=32, cache=cache)
+                sampling="windowed", window=32, cache=cache,
+                layout=layout0 if use_layout else None)
             out = r.sum() if J is None else r.sum() + J[0, 0, 0, 0]
             return c + out * 1e-20
+        # production (r05): layout hoisted per level -> passed in
         t_cost = timed(f"level{lv}_rjv_cost",
-                       lambda c, d: rjv(c, d, False), data)
+                       lambda c, d: rjv(c, d, False, True), data)
         t_jac = timed(f"level{lv}_rjv_jac",
-                      lambda c, d: rjv(c, d, True), data,
+                      lambda c, d: rjv(c, d, True, True), data,
                       extra={"jacobian_overhead_us":
                              None})
         records[-1]["jacobian_overhead_us"] = round((t_jac - t_cost) * 1e6, 1)
+        # r04 behavior: layout (anchors+pix+obs gather) recomputed per call
+        timed(f"level{lv}_rjv_cost_unhoisted",
+              lambda c, d: rjv(c, d, False, False), data)
+
+        # layout decomposition: the per-sample obs gather was r04's prime
+        # unattributed-suspect inside rjv (XLA scalarizes gathers on TPU)
+        def layout_fn(c, d):
+            pixl, vc, ob = res.prepare_frame_layout(
+                jax.tree.map(lambda x: x + 0 * c, knots), d, V, DEG)
+            return c + ob[0, 0, 0] * 1e-20
+        timed(f"level{lv}_layout_prep", layout_fn, data)
+
+        pix0 = layout0[0]
+
+        def obs_fn(c, d, p):
+            ob = res._current_intensity(d.cur_imgs, p + c * eps)
+            return c + ob[0, 0, 0] * 1e-20
+        timed(f"level{lv}_obs_gather", obs_fn, data, pix0,
+              traffic_bytes=pix0.size // 2 * 4)
 
         r0, J0, _ = res.compute_rjv(knots, data, V, DEG, True,
                                     sampling="windowed", window=32,
@@ -332,6 +354,37 @@ def main():
             return c + pt[0, 0, 0] * 1e-20
         timed(f"level{lv}_virtual_poses", poses_fn, knots)
 
+    # ---- frame-CONTEXT (chained) level timings ---------------------------
+    # r04's ~745 us frame gap hypothesis: standalone level timings start
+    # from the tracker's CONVERGED knots (1/3/1 LM iterations), while the
+    # real frame starts from the constant-velocity _pre_track prediction and
+    # each level runs MORE iterations. Chain the levels exactly as
+    # _frame_step does and time each from its true input state.
+    k_chain = jax.jit(_pre_track)(knots, tracker.neigh_velocity, scal[0],
+                                  scal[3], scal[4])
+    chained_total = 0.0
+    chained_iters = []
+    for lv in (2, 1, 0):
+        data = levels[lv]
+        lvl_cache = tracker.keyframe_levels[lv]["wincache"]
+
+        def level_run(k, d, _c=lvl_cache):
+            return lm_mod.optimize_level(k, d, V, DEG, opts, cache=_c)
+
+        k_next, summary = jax.jit(level_run)(k_chain, data)
+        n_it = int(summary.num_iterations)
+        chained_iters.append(n_it)
+
+        def level_fn_c(c, d, _k=k_chain, _c2=lvl_cache):
+            k2, s = lm_mod.optimize_level(
+                jax.tree.map(lambda x: x + 0 * c, _k), d, V, DEG, opts,
+                cache=_c2)
+            return c + s.final_cost * 1e-20
+        t = timed(f"level{lv}_chained", level_fn_c, data, n1=5, n2=55,
+                  extra={"lm_iterations": n_it})
+        chained_total += t
+        k_chain = k_next
+
     # ---- reconciliation summary ------------------------------------------
     model = {}
     for lv in (2, 1, 0):
@@ -355,6 +408,16 @@ def main():
     model["levels_sum_measured_us"] = round(sum(
         r["us"] for r in records if r["stage"].endswith("_full")
         and r["stage"] != "frame_full"), 1)
+    rec = {r["stage"]: r for r in records}
+    model["levels_sum_chained_us"] = round(chained_total * 1e6, 1)
+    model["chained_lm_iterations"] = chained_iters
+    # attribution target (r05): pyramid + pre/post + chained levels must
+    # explain >= 90% of frame_full
+    explained = (chained_total * 1e6 + rec["frame_pyramid"]["us"]
+                 + rec["frame_prepost_stats"]["us"])
+    model["frame_explained_us"] = round(explained, 1)
+    model["frame_attribution_frac"] = round(
+        explained / max(model["frame_measured_us"], 1e-9), 3)
     print(json.dumps({"summary": model}), flush=True)
 
     if ARGS.out:

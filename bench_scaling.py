@@ -46,7 +46,10 @@ def main(argv=None):
     p.add_argument("--sizes", default=None,
                    help="comma list of mesh sizes (default: 1,2,4,.. up to "
                         "device count)")
-    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--reps", type=int, default=7,
+                   help="timed repetitions; the artifact reports the MEDIAN "
+                        "with min/max spread (r04 verdict weak #3: single "
+                        "runs cannot carry a scaling claim)")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu for the virtual "
                         "mesh; the session may pin JAX_PLATFORMS via "
@@ -92,20 +95,32 @@ def main(argv=None):
             problems[n_kp] = (init, data)
         return problems[n_kp]
 
+    def _timed(fn):
+        """Median + spread over reps of fn() (fn must block)."""
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        ts.sort()
+        med = ts[len(ts) // 2]
+        return med, ts[0], ts[-1]
+
     local_cache = {}
 
     def t_local(n_kp):
-        """Wall time of the unsharded per-shard problem on ONE device."""
+        """Median wall of the unsharded per-shard problem on ONE device."""
         if n_kp in local_cache:
             return local_cache[n_kp]
         init, data = problem(n_kp)
         out, _ = optimize_level_jit(init, data, 3, 2, opts)
         jax.block_until_ready(out.t)
-        t0 = time.time()
-        for _ in range(args.reps):
-            out, _ = optimize_level_jit(init, data, 3, 2, opts)
-            jax.block_until_ready(out.t)
-        local_cache[n_kp] = (time.time() - t0) / args.reps
+
+        def once():
+            o, _ = optimize_level_jit(init, data, 3, 2, opts)
+            jax.block_until_ready(o.t)
+
+        local_cache[n_kp] = _timed(once)
         return local_cache[n_kp]
 
     def run_case(mode, global_kp_of, results):
@@ -119,34 +134,42 @@ def main(argv=None):
             out, summary = optimize_level_sharded(init, sdata, 3, 2, opts,
                                                   mesh)
             jax.block_until_ready(out.t)   # compile + warm
-            t0 = time.time()
-            for _ in range(args.reps):
-                out, summary = optimize_level_sharded(
-                    init, sdata, 3, 2, opts, mesh
-                )
-                jax.block_until_ready(out.t)
-            wall = (time.time() - t0) / args.reps
+
+            def once():
+                o, _ = optimize_level_sharded(init, sdata, 3, 2, opts, mesh)
+                jax.block_until_ready(o.t)
+
+            wall, wall_lo, wall_hi = _timed(once)
             if t1 is None:
                 t1 = wall
             if mode == "strong":
                 raw_eff = t1 / (wall * s)
             else:
                 raw_eff = t1 / wall
-            tl = t_local(n_shard)
+            tl, tl_lo, tl_hi = t_local(n_shard)
             ideal = tl * s / min(s, n_cores)
+            # UNCLIPPED ratio: values > 1 mean the single-device reference
+            # itself was the slower measurement (noise) — clipping them to
+            # exactly 1.0 manufactured the r04 artifact's too-clean rows
+            # (verdict weak #3). `saturated` marks rows where the core
+            # time-sharing adjustment hit its own bound (s > physical
+            # cores), i.e. the adjustment, not the measurement, dominates.
             rec = {
                 "mode": mode,
                 "mesh_devices": s,
                 "global_keypoints": n_global,
                 "keypoints_per_shard": n_shard,
                 "lm_step_wall_s": round(wall, 4),
+                "lm_step_wall_spread_s": [round(wall_lo, 4),
+                                          round(wall_hi, 4)],
                 "steps_per_s": round(1.0 / wall, 3),
                 "raw_efficiency": round(raw_eff, 3),
                 "t_local_unsharded_s": round(tl, 4),
+                "t_local_spread_s": [round(tl_lo, 4), round(tl_hi, 4)],
                 "core_adjusted_ideal_s": round(ideal, 4),
-                "core_adjusted_efficiency": round(min(ideal / wall, 1.0), 3),
-                "collective_overhead_frac": round(
-                    max(0.0, (wall - ideal) / wall), 3),
+                "core_adjusted_efficiency": round(ideal / wall, 3),
+                "adjustment_saturated": s > n_cores,
+                "collective_overhead_frac": round((wall - ideal) / wall, 3),
                 "platform": jax.default_backend(),
                 "image": list(problem(n_global)[1].img_ref.shape),
             }
@@ -158,6 +181,53 @@ def main(argv=None):
     if n_dev * 512 <= 4096 or 4096 % max(sizes) == 0:
         run_case("strong", lambda s: 4096, results)
     run_case("weak", lambda s: 512 * s, results)
+
+    # ---- first-principles ICI projection ---------------------------------
+    # What the virtual CPU mesh CANNOT measure is real inter-chip time, so
+    # project it from the communication structure, which is exactly known:
+    # the keypoint-sharded LM's only cross-chip traffic is the psum of the
+    # normal equations — one [6K, 6K] H + [6K] g f32 pair per evaluation
+    # (624 B at the production K=2 per-frame window; ~37 kB at a 16-knot
+    # joint window) plus a handful of scalar reductions (cost, residual
+    # count, outlier stats). Per LM iteration: <= 2 H/g psums (candidate
+    # eval + accepted refresh) and <= 4 scalar psums. Ring all-reduce cost
+    # model: 2(s-1) hops x hop latency + 2 payload (s-1)/(s bw).
+    # Per-iteration compute comes from the MEASURED on-chip profile
+    # (PROFILE_r05: rjv_jac + assembles + outliers ~= 60 us at 512 kp,
+    # linear in keypoints; the replicated 12x12 solve ~4 us is mesh-size
+    # independent). v5e-ballpark link parameters (public scaling-book
+    # figures): 45 GB/s per direction per link, 1 us hop latency.
+    HOP_US = 1.0
+    LINK_GBPS = 45.0
+    T_SOLVE_US = 4.0
+    T_KP_US = 60.0 / 512.0          # measured us per keypoint per iteration
+    N_HG_PSUM = 2
+    N_SCALAR_PSUM = 4
+    KNOTS = 2
+    hg_bytes = ((6 * KNOTS) ** 2 + 6 * KNOTS) * 4
+
+    def _ring_us(payload_bytes, s):
+        return (2 * (s - 1) * HOP_US
+                + 2 * payload_bytes * (s - 1) / (s * LINK_GBPS * 1e3))
+
+    projection = []
+    for n_global in (512, 4096, 16384):
+        for s in (2, 4, 8, 16, 32, 64):
+            if n_global // s < 1:
+                continue
+            t_comp = T_SOLVE_US + T_KP_US * (n_global / s)
+            t_coll = (N_HG_PSUM * _ring_us(hg_bytes, s)
+                      + N_SCALAR_PSUM * _ring_us(4, s))
+            eff = t_comp / (t_comp + t_coll)
+            projection.append({
+                "global_keypoints": n_global,
+                "mesh_devices": s,
+                "keypoints_per_shard": n_global // s,
+                "t_compute_us_per_iter": round(t_comp, 2),
+                "t_collective_us_per_iter": round(t_coll, 2),
+                "projected_ici_efficiency": round(eff, 3),
+            })
+    print(json.dumps({"ici_projection_head": projection[:4]}), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
@@ -176,7 +246,20 @@ def main(argv=None):
                         if jax.default_backend() == "cpu" else
                         "real device mesh"
                     ),
+                    "reps": args.reps,
                     "results": results,
+                    "ici_projection": {
+                        "model": (
+                            "ring all-reduce: 2(s-1) hops x 1 us + "
+                            "2*payload*(s-1)/(s*45GB/s); per-iteration "
+                            "compute from the on-chip PROFILE "
+                            "(60 us/512 kp linear + 4 us replicated solve); "
+                            "2 H/g psums (624 B at K=2) + 4 scalar psums "
+                            "per iteration — conservative: real XLA fuses "
+                            "the scalar reductions into the H/g transfer"
+                        ),
+                        "rows": projection,
+                    },
                 },
                 f, indent=1,
             )
