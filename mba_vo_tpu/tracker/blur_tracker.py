@@ -49,7 +49,7 @@ from ..core.transform import Pose, pose_compose, pose_exp, pose_identity, pose_i
 from ..ops.image import image_gradients, gradient_magnitude, image_pyramid
 from ..ops.residual import TrackingLevelData
 from ..solver.lm import LMOptions, optimize_level_jit
-from .detector import DetectorOptions, detect_semidense_jit
+from .detector import DetectorOptions, detect_semidense, detect_semidense_jit
 from .patterns import PATTERNS
 
 
@@ -137,6 +137,65 @@ def _preprocess_level(img: jnp.ndarray):
     return grad, mag
 
 
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=("num_levels", "det", "margin", "min_depth", "window",
+                     "windowed"),
+)
+def _process_keyframe_fused(
+    img0, depth, *, num_levels: int, det, margin: int, min_depth: float,
+    window: int, windowed: bool,
+):
+    """Whole keyframe pipeline in one XLA program: pyramid, gradients,
+    per-level semi-dense detection, on-device depth gather at full-res
+    coordinates (reference .cpp:397-410: x = kpt.x * 2^lv + 0.5, z from
+    level 0), border/min-depth masking, and the per-level window caches.
+    Returns a tuple of per-level (img, grad, kp_xy, kp_z, kp_mask,
+    wincache-or-None)."""
+    from ..ops.window_sampling import extract_windows, stack_image_channels
+
+    dtype = img0.dtype
+    pyramid = image_pyramid(img0, num_levels)
+    Hd, Wd = depth.shape
+    out = []
+    for lv, img in enumerate(pyramid):
+        grad = image_gradients(img)
+        mag = gradient_magnitude(grad)
+        kp_xy, _resp, mask = detect_semidense(mag, lv, det)
+        scale = 2 ** lv
+        xi = jnp.clip((kp_xy[:, 0] * scale + 0.5).astype(jnp.int32), 0,
+                      Wd - 1)
+        yi = jnp.clip((kp_xy[:, 1] * scale + 0.5).astype(jnp.int32), 0,
+                      Hd - 1)
+        z = depth[yi, xi].astype(dtype)
+        h_lv, w_lv = img.shape
+        in_interior = (
+            (kp_xy[:, 0] >= margin)
+            & (kp_xy[:, 0] <= w_lv - 1 - margin)
+            & (kp_xy[:, 1] >= margin)
+            & (kp_xy[:, 1] <= h_lv - 1 - margin)
+        )
+        kp_mask = (mask.astype(dtype)
+                   * (z >= min_depth).astype(dtype)
+                   * in_interior.astype(dtype))
+        kp_xy = kp_xy.astype(dtype)
+        if windowed:
+            # keyframe-constant window cache, extracted ONCE here and
+            # reused by every frame tracked against this keyframe
+            # (~590 us/level/frame of device time otherwise,
+            # PROFILE_r04.json window_cache rows)
+            chans = stack_image_channels(img, grad)
+            wins, starts = extract_windows(chans, kp_xy, window)
+            wincache = (jax.lax.stop_gradient(wins), starts)
+        else:
+            wincache = None
+        out.append((img, grad, kp_xy, z, kp_mask, wincache))
+    return tuple(out)
+
+
 def _keyframe_flow_stats(
     knots: SplineKnots,
     kp_xy: jnp.ndarray,
@@ -221,6 +280,17 @@ def _keyframe_anchor(knots: SplineKnots, T_keyframe: Pose, pose_cap: Pose,
 
 
 _keyframe_anchor_jit = jax.jit(_keyframe_anchor, static_argnums=(4,))
+
+
+@jax.jit
+def _slice_chunk_state(knots_seq, vel_seq, pose_caps, r):
+    """Per-frame (knots, velocity, pose) out of a chunk's scan outputs in
+    ONE dispatch — the naive tree.map slicing issued 5 separate device ops,
+    each a full link round trip on remote-attached chips (keyframe switches
+    and failure rollbacks pay this)."""
+    g = lambda x: x[r]
+    return (jax.tree.map(g, knots_seq), vel_seq[r],
+            jax.tree.map(g, pose_caps))
 
 
 from functools import partial
@@ -651,61 +721,39 @@ class BlurAwareTracker:
     # ------------------------------------------------------------ keyframe
 
     def process_keyframe(self, sharp_img: np.ndarray, depth_map: np.ndarray):
-        """Pyramids + gradients + semi-dense detection + depth ingestion
-        (reference tmpProcessKeyframe, blur_aware_direct_tracker.cpp:344-416)."""
+        """Pyramids + gradients + semi-dense detection + depth ingestion +
+        window-cache extraction, ONE device dispatch
+        (reference tmpProcessKeyframe, blur_aware_direct_tracker.cpp:344-416).
+
+        r05: the previous host loop issued ~3 dispatches + 1 BLOCKING
+        keypoint fetch per level (the depth lookup ran on the host) —
+        ~10 link round trips per keyframe at several ms each on a
+        remote-attached chip, which dominated keyframe-heavy tracking
+        (bench.py --keyframe measured 9 fps with a switch every ~3 frames).
+        The depth gather now runs on device and the whole pipeline is one
+        jitted call; no keypoint array ever reaches the host."""
         if sharp_img is None or depth_map is None:
             raise ValueError(
                 "keyframe processing needs a sharp image and a depth map "
                 "(reference tmpProcessKeyframe contract, "
                 "blur_aware_direct_tracker.cpp:344-416)"
             )
-        img0 = jnp.asarray(sharp_img, self.dtype)
-        depth = np.asarray(depth_map)
-        pyramid = image_pyramid(img0, self.cfg.num_pyramid_levels)
-        self.keyframe_levels = []
-        from ..ops.residual import prepare_window_cache as _pwc  # noqa: F401
-        from ..ops.window_sampling import extract_windows, stack_image_channels
-        for lv, img in enumerate(pyramid):
-            grad, mag = _preprocess_level(img)
-            kp_xy, resp, mask = detect_semidense_jit(mag, lv, self.cfg.detector)
-            # depth lookup at full-resolution coordinates
-            # (reference .cpp:397-410: x = kpt.x * 2^lv + 0.5, z from level 0)
-            scale = 2 ** lv
-            kp_np = np.asarray(kp_xy)
-            xi = np.clip((kp_np[:, 0] * scale + 0.5).astype(np.int32), 0, depth.shape[1] - 1)
-            yi = np.clip((kp_np[:, 1] * scale + 0.5).astype(np.int32), 0, depth.shape[0] - 1)
-            z = depth[yi, xi]
-            m = self.cfg.keypoint_border_margin
-            h_lv, w_lv = img.shape
-            in_interior = (
-                (kp_np[:, 0] >= m)
-                & (kp_np[:, 0] <= w_lv - 1 - m)
-                & (kp_np[:, 1] >= m)
-                & (kp_np[:, 1] <= h_lv - 1 - m)
-            )
-            mask_np = (
-                np.asarray(mask) * (z >= self.cfg.min_keypoint_depth) * in_interior
-            )
-            entry = dict(
-                img=img,
-                grad=grad,
-                kp_xy=kp_xy.astype(self.dtype),
-                kp_z=jnp.asarray(z, self.dtype),
-                kp_mask=jnp.asarray(mask_np, self.dtype),
-            )
-            if self.cfg.sampling == "windowed":
-                # keyframe-constant window cache, extracted ONCE here and
-                # reused by every frame tracked against this keyframe
-                # (~590 us/level/frame of device time otherwise,
-                # PROFILE_r04.json window_cache rows)
-                chans = stack_image_channels(img, grad)
-                wins, starts = extract_windows(
-                    chans, entry["kp_xy"], self.cfg.sampling_window
-                )
-                entry["wincache"] = (jax.lax.stop_gradient(wins), starts)
-            else:
-                entry["wincache"] = None
-            self.keyframe_levels.append(entry)
+        cfg = self.cfg
+        out = _process_keyframe_fused(
+            jnp.asarray(sharp_img, self.dtype),
+            jnp.asarray(np.asarray(depth_map), self.dtype),
+            num_levels=cfg.num_pyramid_levels,
+            det=cfg.detector,
+            margin=cfg.keypoint_border_margin,
+            min_depth=cfg.min_keypoint_depth,
+            window=cfg.sampling_window,
+            windowed=(cfg.sampling == "windowed"),
+        )
+        self.keyframe_levels = [
+            dict(img=img, grad=grad, kp_xy=kp_xy, kp_z=kp_z, kp_mask=kp_mask,
+                 wincache=wincache)
+            for (img, grad, kp_xy, kp_z, kp_mask, wincache) in out
+        ]
 
     # ------------------------------------------------------------- tracking
 
@@ -884,11 +932,9 @@ class BlurAwareTracker:
                 self.neigh_velocity = vel_fin
                 self.T_prev_b2w = pose_fin
             else:
-                self.knots = jax.tree.map(lambda x: x[c - 1], knots_seq)
-                self.neigh_velocity = vel_seq[c - 1]
-                self.T_prev_b2w = jax.tree.map(
-                    lambda x: x[c - 1], pose_caps
-                )
+                (self.knots, self.neigh_velocity,
+                 self.T_prev_b2w) = _slice_chunk_state(
+                    knots_seq, vel_seq, pose_caps, c - 1)
             self.prev_timestamp = float(cap_times[i0 + c - 1])
             return (i0, c, out, pre_chunk)
 
@@ -948,11 +994,9 @@ class BlurAwareTracker:
                         cb(len(results) - 1,
                            jax.tree.map(lambda x, r=r: x[r], knots_seq))
                 if bad > 0:
-                    self.knots = jax.tree.map(lambda x: x[bad - 1], knots_seq)
-                    self.neigh_velocity = vel_seq[bad - 1]
-                    self.T_prev_b2w = jax.tree.map(
-                        lambda x: x[bad - 1], pose_caps
-                    )
+                    (self.knots, self.neigh_velocity,
+                     self.T_prev_b2w) = _slice_chunk_state(
+                        knots_seq, vel_seq, pose_caps, bad - 1)
                     self.prev_timestamp = float(cap_times[i + bad - 1])
                 else:
                     (self.knots, self.neigh_velocity, self.T_prev_b2w,
@@ -999,9 +1043,9 @@ class BlurAwareTracker:
             if fired >= 0:
                 # roll the tracker back to the fired frame: the optimistic
                 # state (and any speculative later chunks) extended past it
-                self.knots = jax.tree.map(lambda x: x[last], knots_seq)
-                self.neigh_velocity = vel_seq[last]
-                pose_cap_last = jax.tree.map(lambda x: x[last], pose_caps)
+                (self.knots, self.neigh_velocity,
+                 pose_cap_last) = _slice_chunk_state(
+                    knots_seq, vel_seq, pose_caps, last)
                 self.T_prev_b2w = pose_cap_last
                 self.prev_timestamp = float(cap_times[i + last])
                 j = i + fired
