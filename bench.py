@@ -133,11 +133,12 @@ def main(keyframe_mode: bool = False):
 
     # stage frames on device up front: input prefetch overlaps tracking in
     # production (runtime/dataio.cpp prefetcher); the metric is tracked
-    # frames/s of the engine, not host link bandwidth
-    frames = [
-        (cap, jax.device_put(jnp.asarray(blurred, jnp.float32)))
-        for cap, blurred in frames
-    ]
+    # frames/s of the engine, not host link bandwidth. A LIST of per-frame
+    # device arrays, not one stacked array: the stacked-array + eager-slice
+    # variant measured 10x slower on the remote backend (see the note in
+    # blur_tracker._dispatch).
+    frames_dev = [jax.device_put(jnp.asarray(b, jnp.float32))
+                  for _, b in frames]
 
     # warmup (compile all three pyramid levels + the chunked scan).
     # CHUNK=24: the r05 on-chip sweep (CHUNK 8/12/24 x INFLIGHT 3/4, 72
@@ -147,14 +148,14 @@ def main(keyframe_mode: bool = False):
     CHUNK = int(os.environ.get("MBA_VO_BENCH_CHUNK", "24"))
     INFLIGHT = int(os.environ.get("MBA_VO_BENCH_INFLIGHT", "3"))
     caps = [cap for cap, _ in frames]
-    imgs = [blurred for _, blurred in frames]
     exps = [EXPOSURE] * len(frames)
 
     def run(lo, hi):
         kw = {}
         if keyframe_mode:
             kw = dict(sharp_imgs=sharps[lo:hi], depth_maps=depths[lo:hi])
-        est = tracker.track_frames(imgs[lo:hi], caps[lo:hi], exps[lo:hi],
+        est = tracker.track_frames(frames_dev[lo:hi], caps[lo:hi],
+                                   exps[lo:hi],
                                    chunk=CHUNK, inflight=INFLIGHT, **kw)
         jax.block_until_ready(est[-1].t)
         return est

@@ -256,17 +256,23 @@ def main():
                 layout=layout0 if use_layout else None)
             out = r.sum() if J is None else r.sum() + J[0, 0, 0, 0]
             return c + out * 1e-20
-        # production (r05): layout hoisted per level -> passed in
+        # production (hoist_layout=False default): layout (anchors + pix +
+        # obs gather) recomputed inside every rjv call — measured the right
+        # trade at the production ~1.1 LM iterations/level (see
+        # LMOptions.hoist_layout)
         t_cost = timed(f"level{lv}_rjv_cost",
-                       lambda c, d: rjv(c, d, False, True), data)
+                       lambda c, d: rjv(c, d, False, False), data)
         t_jac = timed(f"level{lv}_rjv_jac",
-                      lambda c, d: rjv(c, d, True, True), data,
+                      lambda c, d: rjv(c, d, True, False), data,
                       extra={"jacobian_overhead_us":
                              None})
         records[-1]["jacobian_overhead_us"] = round((t_jac - t_cost) * 1e6, 1)
-        # r04 behavior: layout (anchors+pix+obs gather) recomputed per call
-        timed(f"level{lv}_rjv_cost_unhoisted",
-              lambda c, d: rjv(c, d, False, False), data)
+        # A/B: the same passes with the layout hoisted out (what the
+        # opt-in hoist buys per iteration when a config runs many)
+        timed(f"level{lv}_rjv_cost_hoisted",
+              lambda c, d: rjv(c, d, False, True), data)
+        timed(f"level{lv}_rjv_jac_hoisted",
+              lambda c, d: rjv(c, d, True, True), data)
 
         # layout decomposition: the per-sample obs gather was r04's prime
         # unattributed-suspect inside rjv (XLA scalarizes gathers on TPU)

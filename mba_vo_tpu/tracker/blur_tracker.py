@@ -916,6 +916,13 @@ class BlurAwareTracker:
                 scal[r] = (dt, cap, exp, cap - 0.5 * exp,
                            self._knot_dt(dt, exp))
                 prev_t = cap
+            # NOTE (r05, measured): replacing this stack with one eager
+            # lax.dynamic_slice_in_dim out of a staged [T, H, W] device
+            # array looks like it should save ~24 op dispatches — on the
+            # remote axon backend it measured 10x SLOWER end to end
+            # (40 vs 407 fps A/B; ~595 ms/chunk, consistent with a remote
+            # executable-cache round trip per eager slice). The stack of
+            # per-frame device arrays is the known-good dispatch shape.
             imgs = jnp.stack(
                 [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
             )
