@@ -283,6 +283,15 @@ _keyframe_anchor_jit = jax.jit(_keyframe_anchor, static_argnums=(4,))
 
 
 @jax.jit
+def _stack_frames(*imgs):
+    """Variadic jitted stack: ONE link round trip for a chunk's image
+    stack. The eager jnp.stack of 24 device frames measured 2.5 ms of
+    per-chunk dispatch overhead on the remote-attached backend; the jitted
+    call with the same operands is 0.05 ms. (One compile per chunk size.)"""
+    return jnp.stack(imgs)
+
+
+@jax.jit
 def _slice_chunk_state(knots_seq, vel_seq, pose_caps, r):
     """Per-frame (knots, velocity, pose) out of a chunk's scan outputs in
     ONE dispatch — the naive tree.map slicing issued 5 separate device ops,
@@ -921,10 +930,11 @@ class BlurAwareTracker:
             # array looks like it should save ~24 op dispatches — on the
             # remote axon backend it measured 10x SLOWER end to end
             # (40 vs 407 fps A/B; ~595 ms/chunk, consistent with a remote
-            # executable-cache round trip per eager slice). The stack of
-            # per-frame device arrays is the known-good dispatch shape.
-            imgs = jnp.stack(
-                [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
+            # executable-cache round trip per eager slice). The jitted
+            # variadic stack of per-frame device arrays is the measured
+            # fastest dispatch shape (0.05 ms vs 2.5 ms eager).
+            imgs = _stack_frames(
+                *[jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
             )
             pre_chunk = (self.knots, self.neigh_velocity, self.T_prev_b2w,
                          self.prev_timestamp)
@@ -1277,8 +1287,8 @@ class BlurAwareTracker:
                     f"[{need_lo:.4f}, {need_hi:.4f}] vs window "
                     f"[{lo + m * dt:.4f}, {hi + m * dt:.4f}] — chunk span "
                     "exceeds (K - degree + 1) knot intervals")
-            imgs = jnp.stack(
-                [jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
+            imgs = _stack_frames(
+                *[jnp.asarray(blur_imgs[j], self.dtype) for j in idx]
             )
             snapshot = self._joint_knots
             out = _track_joint_window_fused(

@@ -243,3 +243,59 @@ class TestNormalEquations:
         moved = spline_retract_flat(start, step)
         ev2 = res.evaluate(moved, data, NUM_VIR, DEGREE, 20.0, mask, False)
         assert float(ev2.cost) < 0.7 * float(ev.cost)
+
+
+class TestAffineCorrect:
+    """ops.residual.affine_correct: closed-form per-frame gain/bias
+    elimination (the photometric extension the reference's pure-intensity
+    model cannot express, compute_pixel_intensity.h:26-72)."""
+
+    def test_exact_affine_disturbance_is_eliminated(self):
+        rng = np.random.default_rng(0)
+        pred = jnp.asarray(rng.uniform(0, 255, (2, 40, 8)))
+        valid = jnp.asarray(rng.uniform(0, 1, (2, 40, 8)) > 0.2)
+        # obs = (pred - b_f) / a_f per frame -> the fit recovers (a, b)
+        # exactly and the residual vanishes on valid samples
+        a = jnp.asarray([1.3, 0.8])[:, None, None]
+        b = jnp.asarray([12.0, -7.0])[:, None, None]
+        obs = (pred - b) / a
+        r = res.affine_correct(pred, obs, valid)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-9)
+
+    def test_matches_least_squares_optimum(self):
+        """The residual must equal pred - a*obs - b at the per-frame
+        least-squares (a, b) — checked against numpy lstsq."""
+        rng = np.random.default_rng(1)
+        pred = jnp.asarray(rng.normal(128, 30, (1, 60, 8)))
+        obs = jnp.asarray(rng.normal(128, 30, (1, 60, 8)))
+        valid = jnp.ones((1, 60, 8), bool)
+        r = np.asarray(res.affine_correct(pred, obs, valid))
+        x = np.asarray(obs).ravel()
+        y = np.asarray(pred).ravel()
+        A = np.stack([x, np.ones_like(x)], axis=1)
+        (a, b), *_ = np.linalg.lstsq(A, y, rcond=None)
+        np.testing.assert_allclose(r.ravel(), y - a * x - b, atol=1e-8)
+        # eliminating (a, b) can only reduce the residual energy
+        assert (r ** 2).sum() <= ((y - x) ** 2).sum() + 1e-9
+
+    def test_degenerate_textureless_frame_falls_back(self):
+        """Constant obs (zero variance): the fit is ill-posed; the
+        residual must fall back to (a, b) = (1, 0) — the uncorrected
+        difference — instead of NaN."""
+        pred = jnp.asarray(np.linspace(0, 255, 16).reshape(1, 2, 8))
+        obs = jnp.full((1, 2, 8), 100.0)
+        valid = jnp.ones((1, 2, 8), bool)
+        r = np.asarray(res.affine_correct(pred, obs, valid))
+        np.testing.assert_allclose(r, np.asarray(pred) - 100.0, atol=1e-12)
+
+    def test_invalid_samples_excluded_and_zeroed(self):
+        rng = np.random.default_rng(2)
+        pred = jnp.asarray(rng.uniform(0, 255, (1, 30, 8)))
+        obs = pred * 0.9 + 5.0
+        valid = jnp.asarray(rng.uniform(0, 1, (1, 30, 8)) > 0.5)
+        # corrupt the INVALID samples wildly: they must affect nothing
+        obs = jnp.where(valid, obs, 1e6)
+        r = res.affine_correct(pred, obs, valid)
+        np.testing.assert_allclose(np.asarray(r)[np.asarray(valid)], 0.0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r)[~np.asarray(valid)], 0.0)
