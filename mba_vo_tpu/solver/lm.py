@@ -80,6 +80,11 @@ class LMOptions:
     # the joint multi-frame window enables retry — a cold 4-frame window's
     # first Gauss-Newton step routinely overshoots, and terminating there
     # strands the whole chunk.
+    # r05 A/B on the per-frame tracker: retry=True spun 70 iterations/frame
+    # vs 3.4 at default (the coarse pyramid level's rejected step is a
+    # MODEL mismatch — no radius fixes it, so retrying burns the full
+    # iteration budget shrinking the radius) at equal ATE. The reference's
+    # terminate-on-reject "quirk" is load-bearing; keep False per-frame.
     retry_rejected_steps: bool = False
     # Normal-equation precision (ops.residual.assemble): "highest" forces
     # full-f32 MXU passes for the H/g matmuls (XLA default is bf16 passes on
