@@ -288,12 +288,16 @@ def cmd_track(args) -> int:
                 bcfg = backend_config_from_dict(json.load(f))
         else:
             bcfg = BackendConfig()
-        bcfg = _dc.replace(
-            bcfg,
+        rep = dict(
             window_size=args.backend_window,
             run_pose_graph=(args.backend == "ba+pg"),
-            shard_devices=max(getattr(args, "shard_devices", 0), 0),
         )
+        # the CLI flag only OVERRIDES when actually given (>1): a
+        # shard_devices set in --backend-config JSON must survive the
+        # default flag value
+        if getattr(args, "shard_devices", 0) and args.shard_devices > 1:
+            rep["shard_devices"] = args.shard_devices
+        bcfg = _dc.replace(bcfg, **rep)
         backend = VOBackend(bcfg, K)
     tracker = BlurAwareTracker(cfg, K, (H, W), backend=backend)
     start_idx = 0

@@ -203,7 +203,7 @@ def patch_pixel_grid(anchors: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
 
 
 def affine_correct(pred: jnp.ndarray, obs: jnp.ndarray,
-                   valid: jnp.ndarray) -> jnp.ndarray:
+                   valid: jnp.ndarray, axis_name=None) -> jnp.ndarray:
     """Per-frame affine-brightness-eliminated residual.
 
     Real blurred sequences carry photometric disturbance the reference's
@@ -221,15 +221,25 @@ def affine_correct(pred: jnp.ndarray, obs: jnp.ndarray,
 
     pred, obs, valid: [F, N, P]. Returns [F, N, P] residuals (0 where
     invalid).
+
+    ``axis_name``: set when keypoints are sharded over a mesh axis inside
+    shard_map — the per-frame moment sums psum over the axis so every
+    shard fits the SAME global (a, b) per frame (a shard-local fit would
+    mix inconsistent photometric models into the psum-assembled normal
+    equations and break sharded == single-device parity).
     """
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
     v = valid.astype(pred.dtype)
-    n = jnp.maximum(v.sum(axis=(1, 2)), 1.0)                     # [F]
-    mx = (obs * v).sum(axis=(1, 2)) / n
-    my = (pred * v).sum(axis=(1, 2)) / n
+    n = jnp.maximum(allreduce(v.sum(axis=(1, 2))), 1.0)          # [F]
+    mx = allreduce((obs * v).sum(axis=(1, 2))) / n
+    my = allreduce((pred * v).sum(axis=(1, 2))) / n
     dx = (obs - mx[:, None, None]) * v
     dy = (pred - my[:, None, None]) * v
-    var = (dx * dx).sum(axis=(1, 2)) / n
-    cov = (dx * dy).sum(axis=(1, 2)) / n
+    var = allreduce((dx * dx).sum(axis=(1, 2))) / n
+    cov = allreduce((dx * dy).sum(axis=(1, 2))) / n
     ok = var > 1e-6
     a = jnp.where(ok, cov / jnp.where(ok, var, 1.0), 1.0)        # [F]
     b = jnp.where(ok, my - a * mx, 0.0)
@@ -247,7 +257,7 @@ def _current_intensity(cur_imgs: jnp.ndarray, pix: jnp.ndarray) -> jnp.ndarray:
 
 def compute_residuals(
     knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
-    with_jacobian: bool, affine: bool = False,
+    with_jacobian: bool, affine: bool = False, axis_name=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Residual field r [F, N, P], its Jacobian J [F, N, P, 6K] (or None), and
     the valid-pixel mask [F, N, P].
@@ -312,7 +322,7 @@ def compute_residuals(
 
     pred = I.mean(axis=-1)  # [F, N, P]
     if affine:
-        r = affine_correct(pred, obs, valid)
+        r = affine_correct(pred, obs, valid, axis_name=axis_name)
     else:
         r = jnp.where(valid, pred - obs, 0.0)
     return r, J, valid
@@ -370,7 +380,7 @@ def prepare_frame_layout(
 def compute_residuals_windowed(
     knots: SplineKnots, data: TrackingLevelData, num_vir: int, degree: int,
     with_jacobian: bool, window: int = 32, cache=None, layout=None,
-    affine: bool = False,
+    affine: bool = False, axis_name=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Gather-free variant of :func:`compute_residuals`.
 
@@ -440,7 +450,9 @@ def compute_residuals_windowed(
         if affine:
             # per-frame gain/bias eliminated INSIDE the closure, so
             # jax.linearize differentiates the full profile likelihood
-            return affine_correct(pred.transpose(1, 0, 2), obs, valid_center)
+            # (psum-aware under keypoint sharding via axis_name)
+            return affine_correct(pred.transpose(1, 0, 2), obs, valid_center,
+                                  axis_name=axis_name)
         r_nf = jnp.where(vc_nf, pred - obs_nf, 0.0)
         return r_nf.transpose(1, 0, 2)                         # [F,N,P]
 
@@ -485,6 +497,7 @@ def compute_rjv(
     cache=None,
     layout=None,
     affine: bool = False,
+    axis_name=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Residuals r [F,N,P], Jacobian J [F,N,P,6K] (or None), valid mask.
 
@@ -504,10 +517,10 @@ def compute_rjv(
     if sampling == "windowed":
         return compute_residuals_windowed(
             knots, data, num_vir, degree, with_jacobian, window, cache=cache,
-            layout=layout, affine=affine,
+            layout=layout, affine=affine, axis_name=axis_name,
         )
     return compute_residuals(knots, data, num_vir, degree, with_jacobian,
-                             affine=affine)
+                             affine=affine, axis_name=axis_name)
 
 
 def _kahan_chunked_normal_eq(Jw: jnp.ndarray, rw: jnp.ndarray,
@@ -650,7 +663,7 @@ def evaluate(
     """
     r, J, _valid = compute_rjv(
         knots, data, num_vir, degree, with_jacobian, sampling, window,
-        cache=cache, layout=layout, affine=affine,
+        cache=cache, layout=layout, affine=affine, axis_name=axis_name,
     )
     return assemble(r, J, data, huber_a, outlier_mask, axis_name,
                     precision=precision, compensated=compensated)

@@ -403,6 +403,7 @@ def optimize_level(
                 cand, data, num_vir, degree, True,
                 sampling=opts.sampling, window=opts.window, cache=cache,
                 layout=layout, affine=opts.affine_brightness,
+                axis_name=axis_name,
             )
             ev_c = assemble(r, None, data, opts.huber_a, s.outlier_mask,
                             axis_name=axis_name, precision=opts.precision,

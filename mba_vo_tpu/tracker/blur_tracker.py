@@ -49,7 +49,7 @@ from ..core.transform import Pose, pose_compose, pose_exp, pose_identity, pose_i
 from ..ops.image import image_gradients, gradient_magnitude, image_pyramid
 from ..ops.residual import TrackingLevelData
 from ..solver.lm import LMOptions, optimize_level_jit
-from .detector import DetectorOptions, detect_semidense, detect_semidense_jit
+from .detector import DetectorOptions, detect_semidense
 from .patterns import PATTERNS
 
 
@@ -128,13 +128,6 @@ class TrackerConfig:
             compensated_sum=self.compensated_sum,
             affine_brightness=self.affine_brightness,
         )
-
-
-@jax.jit
-def _preprocess_level(img: jnp.ndarray):
-    grad = image_gradients(img)
-    mag = gradient_magnitude(grad)
-    return grad, mag
 
 
 from functools import partial as _partial
@@ -1186,6 +1179,17 @@ class BlurAwareTracker:
             or prev_dt is None
             or abs(prev_dt - dt) > 0.25 * prev_dt
         )
+        if not rebuild:
+            # the kept timing must still COVER a full chunk of the incoming
+            # cadence: span (chunk-1)*cadence + exposure within the window's
+            # (K - degree + 1) = chunk knot intervals. Without this, a
+            # modest (<25%) exposure/cadence increase between batches kept
+            # the old dt and _dispatch raised 'joint window cannot cover
+            # the chunk' where a rebuild tracks fine.
+            med = float(np.median(dts)) if len(dts) else 0.0
+            max_exp = float(np.max(np.asarray(exp_times)))
+            if (chunk - 1) * med + max_exp > chunk * prev_dt * (1 + 1e-9):
+                rebuild = True
         if not rebuild:
             dt = prev_dt
         else:

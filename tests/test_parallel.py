@@ -396,6 +396,29 @@ class TestShardedTrackerProduct:
             out[n] = np.stack([np.asarray(p.t) for p in poses])
         np.testing.assert_allclose(out[4], out[0], atol=1e-9)
 
+    def test_sharded_affine_brightness_matches(self):
+        """affine_brightness + shard_devices: the per-frame gain/bias fit
+        psums its moment sums over the keypoint axis, so every shard fits
+        the SAME global (a, b) — a shard-local fit would mix inconsistent
+        photometric models into the assembled normal equations (r05 review
+        finding). Disturb the frames with gain/bias drift and require the
+        sharded trajectory to match single-device."""
+        from mba_vo_tpu.tracker.blur_tracker import BlurAwareTracker
+
+        img0, traj, frames, depth, KVEC, hw, EXP_ = self._sequence(4)
+        caps = [c for c, _ in frames]
+        imgs = [np.asarray(b) * (1.0 + 0.03 * i) + 2.0 * i
+                for i, (_, b) in enumerate(frames)]
+        out = {}
+        for n in (0, 4):
+            tr = BlurAwareTracker(self._cfg(n, affine_brightness=True),
+                                  KVEC, hw)
+            tr.track_frame(np.asarray(img0), np.asarray(img0), 0.0, EXP_,
+                           depth)
+            poses = tr.track_frames(imgs, caps, [EXP_] * len(caps), chunk=2)
+            out[n] = np.stack([np.asarray(p.t) for p in poses])
+        np.testing.assert_allclose(out[4], out[0], atol=1e-9)
+
     def test_joint_window_sharded_matches(self):
         from mba_vo_tpu.tracker.blur_tracker import BlurAwareTracker
 
@@ -440,7 +463,10 @@ class TestShardedTrackerProduct:
                 BackendConfig(window_size=4, run_pose_graph=False,
                               shard_devices=n), KVEC_)
             _run_sequence(be)
-            assert be.mesh is (None if n == 0 else be.mesh)
+            # the sharded case must actually BUILD a mesh (a regression that
+            # leaves be.mesh None would silently fall through to the dense
+            # path and make the comparison below trivially equal)
+            assert (be.mesh is None) == (n == 0)
             poses[n] = np.stack(
                 [np.asarray(kf.pose.t) for kf in be.keyframes])
         assert len(poses[4]) == len(poses[0])
